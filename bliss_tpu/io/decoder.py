@@ -1,0 +1,223 @@
+"""Host-side audio decode: any libav-supported format -> canonical PCM.
+
+Canonical analysis contract (mirrors the reference contract at
+reference src/decode.c:7-9): interleaved signed 16-bit PCM, 22 050 Hz, stereo.
+Decode runs on the TPU-VM host through the native C++ shim
+(``_native/decoder.cc``), bound via ctypes; batch decode fans out over host
+threads (the C call releases the GIL) to keep the device input pipeline fed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+import subprocess
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libblisstpu_io.so")
+_build_lock = threading.Lock()
+_lib = None
+
+
+class DecodeError(RuntimeError):
+    """Raised when a file cannot be decoded.
+
+    Replaces the reference's in-band BL_UNEXPECTED status codes
+    (reference: src/decode.c:55-98) with a real exception type.
+    """
+
+
+@dataclasses.dataclass
+class DecodedAudio:
+    """Decoded, canonicalized audio plus container metadata.
+
+    Field names track the reference ``struct bl_song``
+    (reference: include/bliss.h:49-67) so downstream API parity is direct.
+    """
+
+    samples: np.ndarray  # int16, interleaved, shape [n_samples]
+    channels: int
+    sample_rate: int
+    bitrate: int
+    nb_bytes_per_sample: int
+    resampled: int
+    duration: int  # whole seconds (container duration, truncated)
+    filename: str
+    artist: str
+    title: str
+    album: str
+    tracknumber: str
+    genre: str
+
+    @property
+    def n_samples(self) -> int:
+        """Total interleaved sample count (frames * channels)."""
+        return int(self.samples.shape[0])
+
+    @property
+    def n_frames(self) -> int:
+        return self.n_samples // self.channels
+
+    def as_frames(self) -> np.ndarray:
+        """[n_frames, channels] view of the interleaved buffer."""
+        return self.samples.reshape(-1, self.channels)
+
+
+class _BtDecoded(ctypes.Structure):
+    _fields_ = [
+        ("samples", ctypes.POINTER(ctypes.c_int16)),
+        ("n_samples", ctypes.c_int64),
+        ("channels", ctypes.c_int32),
+        ("sample_rate", ctypes.c_int32),
+        ("bitrate", ctypes.c_int32),
+        ("nb_bytes_per_sample", ctypes.c_int32),
+        ("resampled", ctypes.c_int32),
+        ("duration", ctypes.c_uint64),
+        ("artist", ctypes.c_char_p),
+        ("title", ctypes.c_char_p),
+        ("album", ctypes.c_char_p),
+        ("tracknumber", ctypes.c_char_p),
+        ("genre", ctypes.c_char_p),
+        ("error", ctypes.c_char_p),
+    ]
+
+
+def _ensure_built() -> str:
+    """Build the native library on first use if it is missing."""
+    if not os.path.exists(_LIB_PATH):
+        with _build_lock:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                )
+    return _LIB_PATH
+
+
+def _load_lib():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(_ensure_built())
+        lib.bt_decode.argtypes = [ctypes.c_char_p, ctypes.POINTER(_BtDecoded)]
+        lib.bt_decode.restype = ctypes.c_int
+        lib.bt_free_decoded.argtypes = [ctypes.POINTER(_BtDecoded)]
+        lib.bt_free_decoded.restype = None
+        lib.bt_version.restype = ctypes.c_char_p
+        _lib = lib
+    return _lib
+
+
+def _decode_str(b: bytes | None) -> str:
+    return b.decode("utf-8", errors="replace") if b else ""
+
+
+def decode(filename: str | os.PathLike) -> DecodedAudio:
+    """Decode one audio file to canonical s16/22.05kHz/stereo PCM + tags."""
+    filename = os.fspath(filename)
+    lib = _load_lib()
+    out = _BtDecoded()
+    rc = lib.bt_decode(filename.encode("utf-8"), ctypes.byref(out))
+    try:
+        if rc != 0:
+            raise DecodeError(_decode_str(out.error) or f"decode failed: {filename}")
+        n = int(out.n_samples)
+        samples = np.ctypeslib.as_array(out.samples, shape=(n,)).copy()
+        return DecodedAudio(
+            samples=samples,
+            channels=int(out.channels),
+            sample_rate=int(out.sample_rate),
+            bitrate=int(out.bitrate),
+            nb_bytes_per_sample=int(out.nb_bytes_per_sample),
+            resampled=int(out.resampled),
+            duration=int(out.duration),
+            filename=filename,
+            artist=_decode_str(out.artist),
+            title=_decode_str(out.title),
+            album=_decode_str(out.album),
+            tracknumber=_decode_str(out.tracknumber),
+            genre=_decode_str(out.genre),
+        )
+    finally:
+        lib.bt_free_decoded(ctypes.byref(out))
+
+
+def decode_batch(
+    filenames: Sequence[str | os.PathLike],
+    *,
+    num_workers: int | None = None,
+    on_error: str = "raise",
+) -> list[DecodedAudio | None]:
+    """Decode many files in parallel on host threads.
+
+    With ``on_error="skip"``, undecodable files yield ``None`` instead of
+    aborting the batch (per-song error isolation; the batch analog of the
+    reference GUI's skip-bad-files behavior,
+    reference: python/examples/analyze_gui.py:43-48).
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    _load_lib()  # build once, outside the pool
+    if num_workers is None:
+        num_workers = min(32, (os.cpu_count() or 8))
+
+    def _one(fn):
+        try:
+            return decode(fn)
+        except DecodeError:
+            if on_error == "raise":
+                raise
+            return None
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        return list(pool.map(_one, filenames))
+
+
+def iter_decode(
+    filenames: Iterable[str | os.PathLike],
+    *,
+    num_workers: int | None = None,
+    prefetch: int = 2,
+    on_error: str = "skip",
+):
+    """Streaming decode with bounded prefetch.
+
+    Yields ``(filename, DecodedAudio | None)`` in input order while decoding
+    ahead on a thread pool — the host half of the host→device pipeline.
+    """
+    from collections import deque
+
+    if num_workers is None:
+        num_workers = min(32, (os.cpu_count() or 8))
+    filenames = list(filenames)
+
+    def _one(fn):
+        try:
+            return decode(fn)
+        except DecodeError:
+            if on_error == "raise":
+                raise
+            return None
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        window = max(1, num_workers * max(1, prefetch))
+        pending: deque = deque()
+        it = iter(filenames)
+        for fn in it:
+            pending.append((fn, pool.submit(_one, fn)))
+            if len(pending) >= window:
+                f, fut = pending.popleft()
+                yield f, fut.result()
+        while pending:
+            f, fut = pending.popleft()
+            yield f, fut.result()
+
+
+def native_version() -> str:
+    return _load_lib().bt_version().decode()
