@@ -1,0 +1,77 @@
+"""Analysis configuration.
+
+The reference has no config system — everything is a compile-time constant
+(SURVEY.md §5). Here the full pipeline is parameterized by a frozen,
+hashable dataclass usable as a jit static argument. Defaults reproduce the
+reference's numerics; ``for_parity()`` selects the strictest mode used by the
+golden-value tests, ``for_tpu()`` the fast production mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalysisConfig:
+    # Compute dtype for the DSP pipeline. float64 requires jax_enable_x64
+    # (CPU parity tests); float32 is the TPU production dtype.
+    dtype: str = "float32"
+
+    # Amplitude: "table" computes the smoothed-histogram integral as one
+    # weighted reduction over sample values (exact linear collapse of the
+    # 301-pass smoothing); "iterative" replays the 301 float32 passes like
+    # the reference binary does (bit-closest to the golden values).
+    amplitude_mode: str = "table"
+
+    # Frequency spectra: "matmul" uses the dense RDFT-as-matmul (MXU path),
+    # "fft" uses jnp.fft.rfft.
+    spectrum_mode: str = "matmul"
+
+    # Tempo window energies: "parseval" avoids FFTs entirely (quadratic form
+    # in the FIR output); "fft" computes the literal per-window spectrum sum.
+    tempo_energy_mode: str = "parseval"
+
+    # Butterworth IIR: "blocked" uses the dense block recurrence (MXU,
+    # seq_len/block sequential steps); "scan" is the literal per-sample
+    # recurrence via lax.scan.
+    iir_mode: str = "blocked"
+    iir_block: int = 256
+
+    # Replicate the reference's sequential float32 accumulation order where
+    # the golden values can resolve it (amplitude integral). Slow scalar
+    # scans — parity testing only.
+    strict_accumulation: bool = False
+
+    # Where the tempo envelope finish (log-compress -> Butterworth -> peak
+    # count) runs: "device" keeps the whole pipeline in one jitted program;
+    # "host" runs the tiny [B, ~2*nb_frames] finish in float64 NumPy for
+    # exact beat-count parity on backends without float64 (TPU).
+    tempo_finish: str = "device"
+
+    # Sequence padding multiple for batched analysis. Must be a multiple of
+    # 1024 (stereo frequency frames of 512 per channel).
+    pad_multiple: int = 1024
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @staticmethod
+    def for_parity() -> "AnalysisConfig":
+        """Strict parity vs the reference golden values (CPU, x64)."""
+        return AnalysisConfig(
+            dtype="float64",
+            amplitude_mode="iterative",
+            strict_accumulation=True,
+        )
+
+    @staticmethod
+    def for_tpu() -> "AnalysisConfig":
+        """Fast float32 production mode with exact beat-count finish."""
+        return AnalysisConfig(dtype="float32", tempo_finish="host")
+
+
+DEFAULT = AnalysisConfig()

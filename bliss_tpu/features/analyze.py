@@ -1,0 +1,81 @@
+"""Fused batched analysis: PCM batch -> [B, 4] force vectors.
+
+The reference runs its three analyzers in pthreads per song
+(reference: src/analyze.c:33-80); here they are branches of one jitted
+program over the whole batch — XLA schedules them together and data
+parallelism comes from the batch (and the device mesh, see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bliss_tpu import constants as C
+from bliss_tpu.config import AnalysisConfig, DEFAULT
+from bliss_tpu.features.amplitude import amplitude_scores
+from bliss_tpu.features.frequency import frequency_scores
+from bliss_tpu.features.tempo import envelope_scores
+from bliss_tpu.features.types import PCMBatch
+
+
+def analyze_batch(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT) -> jnp.ndarray:
+    """[B, 4] float32 force vectors, ordered (tempo, amplitude, frequency,
+    attack) like the reference force_vector_s (include/bliss.h:26-31)."""
+    amplitude = amplitude_scores(batch, cfg)
+    frequency = frequency_scores(batch, cfg)
+    tempo, attack = envelope_scores(batch, cfg)
+    return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def analyze_batch_jit(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT):
+    return analyze_batch(batch, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _device_stage(batch: PCMBatch, cfg: AnalysisConfig):
+    """Jitted heavy stage for the hybrid path: amplitude + frequency scores
+    plus the tempo window energies."""
+    from bliss_tpu.features.tempo import envelope_energies
+
+    return (
+        amplitude_scores(batch, cfg),
+        frequency_scores(batch, cfg),
+        envelope_energies(batch, cfg),
+    )
+
+
+def analyze_batch_hybrid(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT):
+    """[B, 4] float32 force vectors with the tempo envelope finished on the
+    host in float64 (exact beat-count parity on float32-only backends)."""
+    import numpy as np
+
+    from bliss_tpu.features.tempo import envelope_finish_host
+
+    amplitude, frequency, fa = _device_stage(batch, cfg)
+    tempo, attack = envelope_finish_host(
+        np.asarray(fa), np.asarray(batch.n_samples), np.asarray(batch.durations)
+    )
+    return jnp.stack(
+        [
+            jnp.asarray(tempo),
+            amplitude.astype(jnp.float32),
+            frequency.astype(jnp.float32),
+            jnp.asarray(attack),
+        ],
+        axis=1,
+    )
+
+
+def force_and_class(features: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Aggregate rating and LOUD/CALM/UNKNOWN class per song
+    (reference: src/analyze.c:67-79)."""
+    t, a, f, k = (features[:, i] for i in range(4))
+    force = jnp.maximum(t, 0.0) + a + f + jnp.maximum(k, 0.0)
+    cls = jnp.where(
+        force > 0, C.BL_LOUD, jnp.where(force < 0, C.BL_CALM, C.BL_UNKNOWN)
+    )
+    return force, cls

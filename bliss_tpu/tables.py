@@ -1,0 +1,138 @@
+"""Precomputed operator tables derived from the analysis constants.
+
+These collapse the reference's sequential host loops into single dense
+operators that map onto TPU compute units:
+
+- The 301-pass histogram smoothing (reference: src/amplitude_sort.c:41-59) is
+  a fixed linear operator; composing the 7-tap kernel with itself 301 times
+  and summing over the integral window reduces the whole amplitude analysis
+  to ONE weighted sum over sample values (a table lookup + reduction).
+- The per-window FFT energy of the tempo analyzer
+  (reference: src/tempo_atk_sort.c:140-152) reduces via Parseval's theorem to
+  a quadratic form in the FIR output — no FFT needed:
+      sum_{k=0..256} |X_k|^2 = 256*sum(y^2) + ((sum y)^2 + (sum (-1)^n y)^2)/2
+- The sequential Butterworth IIR (reference: src/tempo_atk_sort.c:200-218)
+  becomes a blocked linear recurrence: per-block dense matrices turn a
+  T-step scalar loop into a handful of MXU matmuls with seq_len/T sequential
+  steps (see dsp/iir.py).
+
+All tables are computed once in float64 NumPy and cached.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from bliss_tpu import constants as C
+
+
+@functools.lru_cache(maxsize=None)
+def smoothing_kernel_iterated() -> np.ndarray:
+    """The 7-tap binomial-like kernel composed with itself 301 times.
+
+    Length 301*6 + 1 = 1807, centered, sums to 1 (within f64).
+    """
+    k = np.array([1.0])
+    base = C.SMOOTH_KERNEL
+    for _ in range(C.N_SMOOTH_PASSES + 1):
+        k = np.convolve(k, base)
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def amplitude_weight_table() -> np.ndarray:
+    """w[j] = sum over the integral window of the iterated smoothing kernel.
+
+    amplitude = AMPLITUDE_SCALE * (100/(end-start)) * sum_i w[s_i + 2^15]
+                + AMPLITUDE_BIAS
+    exactly reproduces histogram -> 301x smoothing -> windowed integral
+    (boundary handling in the reference cannot reach the integral window:
+    the kernel support is +-903 bins while the window sits >=30864 bins from
+    either edge).
+    """
+    K = smoothing_kernel_iterated()
+    half = (len(K) - 1) // 2  # 903
+    Sp = np.concatenate([[0.0], np.cumsum(K)])
+    js = np.arange(C.HISTOGRAM_SIZE)
+    lo = np.clip(C.INTEGRAL_INF - js + half, 0, len(K))
+    hi = np.clip(C.INTEGRAL_SUP - js + half + 1, 0, len(K))
+    return Sp[hi] - Sp[lo]
+
+
+@functools.lru_cache(maxsize=None)
+def hann_window() -> np.ndarray:
+    """Hann window as the reference computes it
+    (reference: src/frequency_sort.c:40-42), float64."""
+    i = np.arange(C.WINDOW_SIZE)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * i / (C.WINDOW_SIZE - 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def rdft_matrices() -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT matrices [WINDOW_SIZE, WINDOW_SIZE//2 + 1].
+
+    X = x @ (re + i*im) equals numpy's unnormalized rfft. Expressing the
+    512-point DFT as a matmul keeps the spectral analysis on the MXU instead
+    of a host FFT library (the TPU-native analog of av_rdft/FFTW use in the
+    reference).
+    """
+    n = C.WINDOW_SIZE
+    k = np.arange(n // 2 + 1)
+    t = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(t, k) / n
+    return np.cos(ang), np.sin(ang)
+
+
+@functools.lru_cache(maxsize=None)
+def parseval_alt_sign() -> np.ndarray:
+    """(-1)^n vector for the Nyquist-bin term of the Parseval identity."""
+    s = np.ones(C.WINDOW_SIZE)
+    s[1::2] = -1.0
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def iir_block_operator(block: int = 256) -> tuple[np.ndarray, ...]:
+    """Dense block operator (L, Z, M, N) for the Butterworth low-pass.
+
+    For a block of T inputs u and incoming direct-form-II-transposed state z
+    (dimension 6):   y = u @ L.T + z @ Z.T     z' = u @ M.T + z @ N.T
+
+    L [T,T] lower-triangular Toeplitz of the impulse response; Z [T,6] the
+    zero-input responses; M [6,T] state response to each in-block impulse;
+    N [6,6] the state transition. Computed with scipy.signal.lfilter probes.
+    """
+    from scipy.signal import lfilter
+
+    b, a = C.BUTTER_B, C.BUTTER_A
+    order = len(a) - 1
+    T = block
+
+    imp = np.zeros(T)
+    imp[0] = 1.0
+    h = lfilter(b, a, imp)
+    L = np.zeros((T, T))
+    idx = np.arange(T)
+    for j in range(T):
+        L[j:, j] = h[: T - j]
+
+    Z = np.zeros((T, order))
+    N = np.zeros((order, order))
+    for k in range(order):
+        zi = np.zeros(order)
+        zi[k] = 1.0
+        y, zf = lfilter(b, a, np.zeros(T), zi=zi)
+        Z[:, k] = y
+        N[:, k] = zf
+
+    M = np.zeros((order, T))
+    for j in range(T):
+        u = np.zeros(T)
+        u[j] = 1.0
+        _, zf = lfilter(b, a, u, zi=np.zeros(order))
+        M[:, j] = zf
+
+    del idx
+    return L, Z, M, N
