@@ -38,7 +38,9 @@ def lfilter_scan(b: np.ndarray, a: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         znew.append(b[order] * u - a[order] * y)
         return jnp.stack(znew, axis=-1), y
 
-    z0 = jnp.zeros((*lead, order), dtype)
+    # Deriving the zero state from x keeps sharding/varying-axis metadata
+    # consistent when this runs inside shard_map.
+    z0 = jnp.zeros_like(x[..., :order])
     xt = jnp.moveaxis(x, -1, 0)
     _, yt = jax.lax.scan(step, z0, xt)
     return jnp.moveaxis(yt, 0, -1)
@@ -79,7 +81,7 @@ def lfilter_blocked(
         )
         return z, y
 
-    z0 = jnp.zeros((*lead, Zt.shape[0]), dtype)
+    z0 = jnp.zeros_like(x[..., : Zt.shape[0]])
     _, yb = jax.lax.scan(step, z0, xb)
     y = jnp.moveaxis(yb, 0, -2).reshape(*lead, nblk * block)
     return y[..., :T]

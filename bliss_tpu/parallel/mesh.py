@@ -1,0 +1,288 @@
+"""Multi-chip analysis over a 2-D device mesh.
+
+The reference's only parallelism is three pthreads inside one process
+(reference: src/analyze.c:34-62). Here the batch shards over a
+('data', 'seq') mesh:
+
+- 'data': independent songs — pure data parallelism.
+- 'seq': each song's PCM stream splits across devices (the sequence/context
+  parallel analog for audio): every shard computes partial histograms /
+  power spectra / window energies over its slice, combined with XLA
+  collectives — psum for the reductions, pmin/pmax for the global zero-trim
+  bounds, a ring ppermute halo exchange for the 256-sample window overlap at
+  shard boundaries, and an all_gather of the per-window energies before the
+  (tiny) sequential envelope stage.
+
+The per-song math is identical to features/*; tests assert sharded ==
+single-device to the last float.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bliss_tpu import constants as C
+from bliss_tpu import tables
+from bliss_tpu.config import AnalysisConfig, DEFAULT
+from bliss_tpu.dsp.intops import c_div
+from bliss_tpu.features.types import PCMBatch
+from bliss_tpu.features.tempo import _fir_per_window, _window_energy
+from bliss_tpu.features import tempo as tempo_mod
+
+
+def _shard_map_unchecked(fn, **kwargs):
+    """shard_map with the output-replication check disabled (outputs here are
+    replicated via psum/all_gather, which the static checker cannot always
+    infer); handles the kwarg rename across JAX versions."""
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:
+        return shard_map(fn, check_rep=False, **kwargs)
+
+
+def analysis_mesh(
+    n_data: int | None = None, n_seq: int = 1, devices=None
+) -> Mesh:
+    """Build a ('data', 'seq') mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_seq
+    return Mesh(devices.reshape(n_data, n_seq), ("data", "seq"))
+
+
+def shard_batch(batch: PCMBatch, mesh: Mesh) -> PCMBatch:
+    """Place a PCMBatch on the mesh: songs over 'data', PCM over 'seq'."""
+    s = jax.device_put(batch.samples, NamedSharding(mesh, P("data", "seq")))
+    n = jax.device_put(batch.n_samples, NamedSharding(mesh, P("data")))
+    d = jax.device_put(batch.durations, NamedSharding(mesh, P("data")))
+    return PCMBatch(s, n, d)
+
+
+def analyze_sharded(
+    batch: PCMBatch, mesh: Mesh, cfg: AnalysisConfig = DEFAULT
+) -> jnp.ndarray:
+    """[B, 4] force vectors, computed SPMD over the mesh.
+
+    The batch is padded so songs divide the 'data' axis and the PCM length
+    divides the 'seq' axis in 1024-sample units; pad rows/columns are benign
+    (nonzero dummy songs) and sliced off the result.
+    """
+    n_data = mesh.shape["data"]
+    n_seq = mesh.shape["seq"]
+    B, L = batch.samples.shape
+    pad_b = (-B) % n_data
+    pad_l = (-L) % (1024 * n_seq)
+    s, n, d = batch.samples, batch.n_samples, batch.durations
+    if pad_l:
+        s = jnp.pad(s, ((0, 0), (0, pad_l)))
+    if pad_b:
+        dummy = jnp.zeros((pad_b, s.shape[1]), s.dtype)
+        # A tiny nonzero blip keeps the pad songs' math finite.
+        dummy = dummy.at[:, 100].set(1000)
+        s = jnp.concatenate([s, dummy], axis=0)
+        n = jnp.concatenate([n, jnp.full((pad_b,), 2048, n.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad_b,), d.dtype)])
+    fn = _build_sharded_fn(mesh, cfg)
+    return fn(s, n, d)[:B]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
+    dtype = cfg.jnp_dtype
+
+    def local_fn(s, n, dur):
+        # s: [Bl, Ls] int16 local slice; n, dur: [Bl] (replicated over seq)
+        s = s.astype(jnp.int32)
+        Bl, Ls = s.shape
+        seq_ix = jax.lax.axis_index("seq")
+        n_seq = jax.lax.axis_size("seq")
+        offset = seq_ix * Ls
+        L = Ls * n_seq
+        gidx = offset + jnp.arange(Ls, dtype=jnp.int32)[None, :]
+        valid = gidx < n[:, None]
+
+        # ---- global zero-trim bounds (amplitude) --------------------------
+        nonzero = s != 0
+        BIG = jnp.int32(2**30)
+        loc_first = jnp.min(jnp.where(nonzero, gidx, BIG), axis=1)
+        loc_last = jnp.max(jnp.where(nonzero, gidx, -1), axis=1)
+        start = jax.lax.pmin(loc_first, "seq")
+        end = jax.lax.pmax(loc_last, "seq")
+
+        # ---- amplitude: partial weighted reduction + psum ------------------
+        seg = (gidx >= start[:, None]) & (gidx <= end[:, None])
+        w = jnp.asarray(tables.amplitude_weight_table(), dtype)
+        part = jnp.sum(jnp.take(w, s + (1 << 15), axis=0) * seg.astype(dtype), axis=1)
+        dot = jax.lax.psum(part, "seq")
+        span = (end - start).astype(dtype)
+        integral = (dot * (jnp.asarray(100.0, dtype) / span)).astype(jnp.float32)
+        amplitude = (
+            jnp.float32(C.AMPLITUDE_SCALE) * integral + jnp.float32(C.AMPLITUDE_BIAS)
+        )
+
+        # ---- frequency: partial power spectra + psum -----------------------
+        W = C.WINDOW_SIZE
+        slots_l = Ls // (W * C.CHANNELS)
+        fr = s.reshape(Bl, slots_l, W, C.CHANNELS)
+        mono = c_div(fr[..., 0] + fr[..., 1], 2)
+        hann = jnp.asarray(tables.hann_window(), dtype)
+        x = mono.astype(dtype) * hann
+        n_frames = (n // C.CHANNELS) // W
+        gslot = seq_ix * slots_l + jnp.arange(slots_l, dtype=jnp.int32)
+        fmask = gslot[None, :] < n_frames[:, None]
+        x = x * fmask[..., None].astype(dtype)
+        dre, dim = tables.rdft_matrices()
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
+        im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
+        power = jax.lax.psum(jnp.sum(re * re + im * im, axis=1), "seq")
+
+        p = jnp.sqrt(power[:, 1:] / jnp.asarray(float(W), dtype))
+        peak = jnp.max(p, axis=1, keepdims=True)
+        db = 20.0 * jnp.log10(p / peak) - jnp.asarray(-C.DB_ATTENUATION, dtype)
+        lo, ls_, hi, hs = (
+            C.FREQ_LOW_INF, C.FREQ_LOW_SUP, C.FREQ_HIGH_INF, C.FREQ_HIGH_SUP,
+        )
+        b0 = (db[:, 1] + db[:, 3]) / 2.0
+        b1 = (db[:, 5] + db[:, 7]) / 2.0
+        b2 = jnp.sum(db[:, lo - 1 : ls_], axis=1) / (ls_ - lo)
+        b3 = jnp.sum(db[:, ls_:hi], axis=1) / (hi - (ls_ + 1))
+        b4 = jnp.sum(db[:, hi:hs], axis=1) / (hs - (hi + 1))
+        frequency = (
+            jnp.asarray(C.FREQUENCY_SCALE, dtype) * (b4 + b3 + b2 - b0 - b1)
+            + jnp.asarray(C.FREQUENCY_BIAS, dtype)
+        ).astype(jnp.float32)
+
+        # ---- tempo: mean/var psums, halo-exchanged windows, energy gather --
+        sv = jnp.where(valid, s, 0)
+        mean = c_div(jax.lax.psum(jnp.sum(sv, axis=1, dtype=jnp.int32), "seq"), n)
+        d_ = jnp.where(valid, s - mean[:, None], 0)
+        if cfg.dtype == "float64":
+            var = c_div(
+                jax.lax.psum(jnp.sum(d_.astype(jnp.int64) ** 2, axis=1), "seq"),
+                n.astype(jnp.int64),
+            ).astype(dtype)
+        else:
+            var = jnp.trunc(
+                jax.lax.psum(jnp.sum(d_.astype(dtype) ** 2, axis=1), "seq")
+                / n.astype(dtype)
+            )
+        inv = jnp.asarray(1.0 / (1 << 15), dtype)
+        norm = (s.astype(dtype) * inv - mean[:, None].astype(dtype) * inv) / (
+            var[:, None] * inv * inv
+        )
+        norm = jnp.where(valid, norm, 0.0)
+
+        # Ring halo: first `hop` columns of the right neighbor.
+        hop = C.TEMPO_HOP
+        halo = jax.lax.ppermute(
+            norm[:, :hop],
+            "seq",
+            [(i, (i - 1) % n_seq) for i in range(n_seq)],
+        )
+        ext = jnp.concatenate([norm, halo], axis=1)  # [Bl, Ls + hop]
+
+        even = norm.reshape(Bl, Ls // W, W)
+        odd = ext[:, hop : hop + Ls].reshape(Bl, Ls // W, W)
+        frames = jnp.stack([even, odd], axis=2).reshape(Bl, Ls // hop, W)
+        y = _fir_per_window(frames, dtype)
+
+        trunc_n = n - n % W
+        n_windows = -((-(trunc_n - W)) // hop)
+        gwin = seq_ix * (Ls // hop) + jnp.arange(Ls // hop, dtype=jnp.int32)
+        wmask = gwin[None, :] < n_windows[:, None]
+        energy = _window_energy(y, cfg) * wmask.astype(dtype)
+
+        fa = jax.lax.all_gather(energy, "seq", axis=1, tiled=True)  # [Bl, L//hop]
+
+        NBF = L // hop
+        nbf = trunc_n // hop
+        mu = jnp.asarray(C.MU, dtype)
+        comp = jnp.log(1.0 + mu * fa) / jnp.log(1.0 + mu)
+        u = jnp.stack([comp, jnp.zeros_like(comp)], axis=-1).reshape(Bl, 2 * NBF)
+        from bliss_tpu.dsp.iir import lfilter_blocked, lfilter_scan
+
+        if cfg.iir_mode == "blocked":
+            lp = lfilter_blocked(u, block=cfg.iir_block)
+        else:
+            lp = lfilter_scan(C.BUTTER_B, C.BUTTER_A, u)
+        diff = jnp.concatenate(
+            [lp[:, :1], jnp.maximum(lp[:, 1:] - lp[:, :-1], 0.0)], axis=1
+        )
+        wa = (
+            jnp.asarray(C.ENV_LP_WEIGHT, dtype) * lp
+            + jnp.asarray(C.ENV_DIFF_WEIGHT, dtype) * diff / 10.0
+        )
+        n2 = 2 * nbf
+        j = jnp.arange(2 * NBF, dtype=jnp.int32)[None, :]
+        last_excluded = j <= (n2 - 2)[:, None]
+        atk_sum = jnp.sum(wa * last_excluded.astype(dtype), axis=1)
+        beat = tempo_mod._count_beats(wa, last_excluded, j, n2, cfg)
+
+        tempo = (
+            jnp.asarray(C.TEMPO_SCALE, dtype) * beat.astype(dtype)
+            / dur.astype(dtype)
+            + jnp.asarray(C.TEMPO_BIAS, dtype)
+        ).astype(jnp.float32)
+        attack = (
+            jnp.asarray(C.ATTACK_SCALE, dtype) * atk_sum / n.astype(dtype)
+            + jnp.asarray(C.ATTACK_BIAS, dtype)
+        ).astype(jnp.float32)
+
+        return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
+
+    mapped = _shard_map_unchecked(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data", "seq"), P("data"), P("data")),
+        out_specs=P("data", None),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_distance_topk(
+    features: jnp.ndarray, mesh: Mesh, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-sharded all-pairs distances with per-row top-k (self excluded).
+
+    Feature vectors are replicated (tiny: [N, 4]); the [N, N] distance matrix
+    is never materialized globally — each device computes its row block and
+    reduces it to top-k immediately. Returns ([N, k] distances, [N, k]
+    indices).
+    """
+    n = features.shape[0]
+
+    def local_fn(rows, full):
+        sq_r = jnp.sum(rows * rows, axis=-1)
+        sq_f = jnp.sum(full * full, axis=-1)
+        gram = jnp.matmul(rows, full.T, precision=jax.lax.Precision.HIGHEST)
+        d = jnp.sqrt(jnp.maximum(sq_r[:, None] + sq_f[None, :] - 2 * gram, 0.0))
+        # exclude self-matches by masking exact-zero diagonal positions
+        r0 = jax.lax.axis_index("data") * rows.shape[0]
+        cols = jnp.arange(full.shape[0])
+        self_mask = cols[None, :] == (r0 + jnp.arange(rows.shape[0]))[:, None]
+        d = jnp.where(self_mask, jnp.inf, d)
+        neg, idx = jax.lax.top_k(-d, k)
+        return -neg, idx
+
+    devs = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    flat = Mesh(np.asarray(mesh.devices).reshape(devs), ("data",))
+    mapped = _shard_map_unchecked(
+        local_fn,
+        mesh=flat,
+        in_specs=(P("data"), P(None)),
+        out_specs=(P("data"), P("data")),
+    )
+    pad = (-n) % devs
+    feats = jnp.pad(features, ((0, pad), (0, 0)), constant_values=1e30)
+    dists, idx = jax.jit(mapped)(feats, features)
+    return dists[:n], idx[:n]

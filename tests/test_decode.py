@@ -1,0 +1,91 @@
+"""Decode parity: the MD5 / metadata oracles from the reference tests
+(reference: tests/test_decode.c, tests/test_analyze.c:36-55)."""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from bliss_tpu.io import DecodeError, decode, decode_batch, iter_decode
+
+EXPECT = {
+    "song.flac": dict(
+        md5="8a1bd824951c0433cc47fec5bf41d0a9",
+        n_samples=488138,
+        bitrate=233864,
+        resampled=0,
+    ),
+    "song_s32.flac": dict(
+        md5="eb9f31a7b9ed022d66ff82b76e7c3c18",
+        n_samples=488140,
+        bitrate=840742,
+        resampled=1,
+    ),
+    "song_s32_mono.flac": dict(
+        md5="747dbfcd75bebc23ebe2024935aede36",
+        resampled=1,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECT))
+def test_decode_md5_parity(fixture_dir, name):
+    d = decode(os.path.join(fixture_dir, name))
+    exp = EXPECT[name]
+    assert hashlib.md5(d.samples.tobytes()).hexdigest() == exp["md5"]
+    assert d.sample_rate == 22050
+    assert d.channels == 2
+    assert d.nb_bytes_per_sample == 2
+    assert d.duration == 11
+    assert d.resampled == exp["resampled"]
+    if "n_samples" in exp:
+        assert d.n_samples == exp["n_samples"]
+    if "bitrate" in exp:
+        assert d.bitrate == exp["bitrate"]
+
+
+def test_decode_tags(decoded_song):
+    assert decoded_song.artist == "David TMX"
+    assert decoded_song.title == "Renaissance"
+    assert decoded_song.album == "Renaissance"
+    assert decoded_song.tracknumber == "02"
+    assert decoded_song.genre == "Pop"
+
+
+def test_decode_missing_file_raises():
+    with pytest.raises(DecodeError):
+        decode("/nonexistent/nope.flac")
+
+
+def test_decode_garbage_raises(tmp_path):
+    p = tmp_path / "noise.mp3"
+    p.write_bytes(b"\x00" * 1024)
+    with pytest.raises(DecodeError):
+        decode(str(p))
+
+
+def test_decode_batch_skip_isolation(fixture_dir, tmp_path):
+    bad = tmp_path / "bad.flac"
+    bad.write_bytes(b"not audio")
+    files = [
+        os.path.join(fixture_dir, "song.flac"),
+        str(bad),
+        os.path.join(fixture_dir, "song_s32.flac"),
+    ]
+    out = decode_batch(files, on_error="skip")
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None
+
+
+def test_iter_decode_order(fixture_dir):
+    files = [os.path.join(fixture_dir, "song.flac")] * 3
+    got = list(iter_decode(files))
+    assert [f for f, _ in got] == files
+    assert all(d is not None for _, d in got)
+
+
+def test_interleaved_frame_view(decoded_song):
+    fr = decoded_song.as_frames()
+    assert fr.shape == (decoded_song.n_samples // 2, 2)
+    assert np.array_equal(fr.reshape(-1), decoded_song.samples)

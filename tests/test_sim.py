@@ -1,0 +1,82 @@
+"""Similarity layer: scalar parity semantics + batch/matrix properties."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from bliss_tpu.sim import (
+    cosine_similarity,
+    cosine_similarity_matrix,
+    distance,
+    distance_matrix,
+    kmeans,
+    nearest_neighbors,
+    playlist_order,
+)
+
+
+def _feats(n=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, 4).astype(np.float64) * 5
+
+
+def test_distance_scalar_semantics():
+    v1 = np.array([1.0, 2.0, 3.0, 4.0])
+    v2 = np.array([2.0, 4.0, 6.0, 8.0])
+    want = np.sqrt(((v1 - v2) ** 2).sum())
+    assert float(distance(v1, v2)) == np.float32(want)
+
+
+def test_cosine_scalar_semantics():
+    v1 = np.array([1.0, 2.0, 3.0, 4.0])
+    v2 = np.array([2.0, 4.0, 6.0, 8.0])
+    np.testing.assert_allclose(float(cosine_similarity(v1, v2)), 1.0, atol=1e-12)
+    np.testing.assert_allclose(float(cosine_similarity(v1, -v1)), -1.0, atol=1e-12)
+    v4 = np.array([1.0, 0.0, 0.0, 0.0])
+    v5 = np.array([0.0, 1.0, 0.0, 0.0])
+    np.testing.assert_allclose(float(cosine_similarity(v4, v5)), 0.0, atol=1e-12)
+
+
+def test_distance_properties():
+    f = _feats()
+    D = np.asarray(distance_matrix(jnp.asarray(f)))
+    # symmetry and zero diagonal (reference README documents d(x,x)=0)
+    np.testing.assert_allclose(D, D.T, atol=1e-9)
+    np.testing.assert_allclose(np.diag(D), 0.0, atol=1e-9)
+    # matches pairwise scalar computation
+    for i, j_ in [(0, 1), (5, 33), (63, 2)]:
+        want = np.sqrt(((f[i] - f[j_]) ** 2).sum())
+        np.testing.assert_allclose(D[i, j_], want, rtol=1e-10)
+
+
+def test_cosine_matrix_bounds_and_diag():
+    f = _feats(32, 1)
+    S = np.asarray(cosine_similarity_matrix(jnp.asarray(f)))
+    assert (S <= 1 + 1e-9).all() and (S >= -1 - 1e-9).all()
+    np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-9)
+
+
+def test_nearest_neighbors_and_playlist():
+    f = _feats(100, 2)
+    q = f[7]
+    d, idx = nearest_neighbors(jnp.asarray(f), jnp.asarray(q), k=5)
+    d, idx = np.asarray(d), np.asarray(idx)
+    assert idx[0] == 7 and d[0] == 0.0
+    brute = np.sqrt(((f - q) ** 2).sum(1))
+    np.testing.assert_allclose(d, np.sort(brute)[:5], rtol=1e-6)
+
+    order = np.asarray(playlist_order(jnp.asarray(f), 7))
+    assert order[0] == 7
+    np.testing.assert_array_equal(order, np.argsort(brute))
+
+
+def test_kmeans_clusters_separated_data():
+    rng = np.random.RandomState(3)
+    a = rng.randn(50, 4) + np.array([10, 0, 0, 0])
+    b = rng.randn(50, 4) + np.array([-10, 0, 0, 0])
+    f = jnp.asarray(np.concatenate([a, b]))
+    cents, assign = kmeans(f, k=2, iters=10, seed=0)
+    assign = np.asarray(assign)
+    # each true cluster maps to one label
+    assert len(set(assign[:50])) == 1
+    assert len(set(assign[50:])) == 1
+    assert assign[0] != assign[50]
