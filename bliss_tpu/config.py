@@ -22,8 +22,10 @@ class AnalysisConfig:
 
     # Amplitude: "table" computes the smoothed-histogram integral as one
     # weighted reduction over sample values (exact linear collapse of the
-    # 301-pass smoothing); "iterative" replays the 301 float32 passes like
-    # the reference binary does (bit-closest to the golden values).
+    # 301-pass smoothing, via a gather); "poly" evaluates the same weight
+    # with Chebyshev polynomials on the VPU (no gather — the fast TPU path,
+    # ~2.5e-7 from the table); "iterative" replays the 301 float32 passes
+    # like the reference binary does (bit-closest to the golden values).
     amplitude_mode: str = "table"
 
     # Frequency spectra: "matmul" uses the dense RDFT-as-matmul (MXU path),
@@ -71,7 +73,9 @@ class AnalysisConfig:
     @staticmethod
     def for_tpu() -> "AnalysisConfig":
         """Fast float32 production mode with exact beat-count finish."""
-        return AnalysisConfig(dtype="float32", tempo_finish="host")
+        return AnalysisConfig(
+            dtype="float32", amplitude_mode="poly", tempo_finish="host"
+        )
 
 
 DEFAULT = AnalysisConfig()

@@ -50,6 +50,8 @@ def amplitude_scores(batch: PCMBatch, cfg: AnalysisConfig) -> jnp.ndarray:
 
     if cfg.amplitude_mode == "table":
         integral = _integral_table(s, seg, start, end, cfg)
+    elif cfg.amplitude_mode == "poly":
+        integral = _integral_poly(s, seg, start, end, cfg)
     elif cfg.amplitude_mode == "iterative":
         integral = _integral_iterative(s, seg, start, end, cfg)
     else:
@@ -68,6 +70,36 @@ def _integral_table(s, seg, start, end, cfg):
     w = jnp.asarray(tables.amplitude_weight_table(), dtype)
     vals = jnp.take(w, s + (1 << 15), axis=0)
     dot = jnp.sum(vals * seg.astype(dtype), axis=1)
+    span = (end - start).astype(dtype)
+    return dot * (jnp.asarray(100.0, dtype) / span)
+
+
+def _integral_poly(s, seg, start, end, cfg):
+    """Gather-free weighted sum: w[s] = T(999-s) - T(-1002-s) with the CDF T
+    evaluated by two Chebyshev halves (tables.amplitude_cdf_poly). TPU
+    gathers serialize per element; this keeps the reduction entirely on the
+    VPU (~2.5e-7 agreement with the exact table)."""
+    dtype = cfg.jnp_dtype
+    A, c_neg, c_pos = tables.amplitude_cdf_poly()
+    c_neg = [jnp.asarray(v, dtype) for v in c_neg]
+    c_pos = [jnp.asarray(v, dtype) for v in c_pos]
+
+    def chebval(t, coeffs):
+        b1 = jnp.zeros_like(t)
+        b2 = jnp.zeros_like(t)
+        for ck in coeffs[:0:-1]:
+            b1, b2 = ck + 2.0 * t * b1 - b2, b1
+        return coeffs[0] + t * b1 - b2
+
+    def T(m):
+        tn = jnp.clip((2.0 * m + A) / A, -1.0, 1.0)
+        tp = jnp.clip((2.0 * m - A) / A, -1.0, 1.0)
+        mid = jnp.where(m < 0, chebval(tn, c_neg), chebval(tp, c_pos))
+        return jnp.where(m <= -A, 0.0, jnp.where(m >= A, 1.0, mid))
+
+    sf = s.astype(dtype)
+    w = T(999.0 - sf) - T(-1002.0 - sf)
+    dot = jnp.sum(w * seg.astype(dtype), axis=1)
     span = (end - start).astype(dtype)
     return dot * (jnp.asarray(100.0, dtype) / span)
 

@@ -62,6 +62,37 @@ def amplitude_weight_table() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def amplitude_cdf_poly(degree: int = 18, halfwidth: int = 200):
+    """Chebyshev fits of the smoothing kernel's CDF for gather-free
+    amplitude evaluation on the VPU.
+
+    The weight w[j] = T(33767-j) - T(31766-j) where T is the iterated
+    kernel's CDF; T saturates to exactly 0/1 outside +-halfwidth. Each half
+    of the transition is fit with a degree-`degree` Chebyshev series (max
+    error ~2.5e-7 — below float32 resolution of the table). Returns
+    (halfwidth, coeffs_neg, coeffs_pos) with each coeff array indexed
+    ascending.
+    """
+    from numpy.polynomial import chebyshev as Ch
+
+    K = smoothing_kernel_iterated()
+    Sp = np.concatenate([[0.0], np.cumsum(K)])
+    half = (len(K) - 1) // 2  # 903
+
+    def T(m):
+        return Sp[np.clip(m + half + 1, 0, len(K))]
+
+    A = halfwidth
+    m_neg = np.arange(-A, 1)
+    m_pos = np.arange(0, A + 1)
+    t_neg = (2.0 * m_neg + A) / A
+    t_pos = (2.0 * m_pos - A) / A
+    c_neg = Ch.chebfit(t_neg, T(m_neg), degree)
+    c_pos = Ch.chebfit(t_pos, T(m_pos), degree)
+    return A, c_neg, c_pos
+
+
+@functools.lru_cache(maxsize=None)
 def hann_window() -> np.ndarray:
     """Hann window as the reference computes it
     (reference: src/frequency_sort.c:40-42), float64."""
