@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark: batched song analysis throughput on one TPU chip vs the
+reference C library on one host CPU core.
+
+Prints ONE JSON line:
+  {"metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
+   "value": <tpu songs/s>, "unit": "songs/s", "vs_baseline": <ratio>, ...}
+
+Method
+- TPU side: the full float32 analysis program (amplitude 'poly' mode,
+  frequency DFT-matmul, Parseval tempo energies, blocked IIR envelope) over
+  64-song device-resident batches of the reference's own 11-second fixture
+  (distinct per-song content via rolls); K batches dispatched back-to-back,
+  one sync. Outputs are reduced on device to keep the (slow, sandbox-only)
+  host tunnel out of the measurement; a correctness probe separately checks
+  the fetched feature vectors against the reference golden values.
+- Baseline: baseline/bench_ref (the reference built from source against a
+  validated FFT shim) looping its three analyzers over the same decoded PCM
+  (analysis-only, matching the TPU measurement's scope). The result is
+  cached in baseline/BASELINE_CPU.json; delete that file to re-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURE = "/root/reference/audio/song.flac"
+CACHE = os.path.join(REPO, "baseline", "BASELINE_CPU.json")
+
+GOLDEN = [-8.945454, -10.641844, -10.136086, -15.560563]
+
+
+def measure_baseline() -> dict:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)
+    build = os.path.join(REPO, "baseline", "build")
+    bench = os.path.join(build, "bench_ref")
+    if not os.path.exists(bench):
+        subprocess.run(
+            ["bash", os.path.join(REPO, "baseline", "build_baseline.sh")],
+            check=True,
+            capture_output=True,
+        )
+    env = dict(
+        os.environ,
+        LD_LIBRARY_PATH=f"{build}:{os.path.join(REPO, 'baseline', 'fftw_shim', 'lib')}",
+    )
+    out = subprocess.run(
+        [bench, FIXTURE, "40", "analysis"],
+        check=True,
+        capture_output=True,
+        text=True,
+        env=env,
+    ).stdout
+    analysis = json.loads(out.strip().splitlines()[-1])
+    out = subprocess.run(
+        [bench, FIXTURE, "30", "e2e"],
+        check=True,
+        capture_output=True,
+        text=True,
+        env=env,
+    ).stdout
+    e2e = json.loads(out.strip().splitlines()[-1])
+    result = {
+        "cpu_analysis_songs_per_sec": analysis["songs_per_sec"],
+        "cpu_e2e_songs_per_sec": e2e["songs_per_sec"],
+        "host": "1-core sandbox host (nproc=1)",
+        "note": "reference built from /root/reference with radix-2 fftw shim;"
+        " its golden tests pass under this build",
+    }
+    with open(CACHE, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
+def main() -> None:
+    baseline = measure_baseline()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bliss_tpu.config import AnalysisConfig
+    from bliss_tpu.features import PCMBatch, analyze_batch
+    from bliss_tpu.io import decode
+
+    d = decode(FIXTURE)
+    B = 64
+    base = np.asarray(d.samples)
+    arrays = [np.roll(base, 1013 * i) for i in range(B)]
+    host_batch = PCMBatch.from_arrays(arrays, [d.duration] * B)
+    batch = PCMBatch(*(jax.device_put(x) for x in host_batch))
+
+    cfg = AnalysisConfig(dtype="float32", amplitude_mode="poly")
+
+    feats_fn = jax.jit(lambda b: analyze_batch(b, cfg))
+
+    @jax.jit
+    def probe(b):
+        # checksum-style reduction keeps transfer out of the timing loop
+        return jnp.sum(analyze_batch(b, cfg) * (1.0 + jnp.arange(4)))
+
+    # correctness gate: fetched features must match the reference goldens
+    feats = np.asarray(feats_fn(batch))
+    err = np.abs(feats[0] - np.array(GOLDEN))
+    assert err[1:].max() < 5e-4, f"feature mismatch vs golden: {feats[0]}"
+    assert err[0] < 1.6, f"tempo too far from golden: {feats[0][0]}"
+
+    float(probe(batch))  # compile
+    # steady-state: K batches dispatched back-to-back, one sync each
+    K = 24
+    t0 = time.time()
+    outs = [probe(batch) for _ in range(K)]
+    _ = [float(o) for o in outs]
+    dt = time.time() - t0
+    tpu_songs_per_sec = B * K / dt
+
+    vs = tpu_songs_per_sec / baseline["cpu_analysis_songs_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
+                "value": round(tpu_songs_per_sec, 1),
+                "unit": "songs/s",
+                "vs_baseline": round(vs, 1),
+                "baseline_cpu_songs_per_sec": baseline[
+                    "cpu_analysis_songs_per_sec"
+                ],
+                "batch": B,
+                "batches_timed": K,
+                "device": str(jax.devices()[0]),
+                "max_feature_err_vs_golden": float(err[1:].max()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
