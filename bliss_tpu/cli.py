@@ -1,0 +1,288 @@
+"""Command-line interface.
+
+Supersedes the reference's example programs (SURVEY.md §2):
+  analyze        — per-song report           (reference: examples/analyze.c)
+  distance       — pairwise distance+cosine  (reference: examples/distance.c)
+  ml-analyze     — CSV for ML pipelines      (reference: examples/ml_analyze.c)
+  detect-gapless — gapless transition check  (reference: examples/detect-gapless.c)
+  playlist       — seed-song .m3u playlist   (reference: python/examples/make_m3u_playlist.py)
+  scan           — batch-analyze a library to CSV with resume + progress
+                   (reference: python/examples/analyze_gui.py, sans GTK)
+  radio          — k-means auto-playlists over the library (new capability)
+  version        — framework + native decoder versions
+
+Run: python -m bliss_tpu.cli <command> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import mimetypes
+import os
+import sys
+
+import numpy as np
+
+
+def _collect_audio_files(paths: list[str]) -> list[str]:
+    """Expand directories into audio files by mimetype (the filter the
+    reference playlist example uses)."""
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                for n in sorted(names):
+                    t, _ = mimetypes.guess_type(n)
+                    if t and t.startswith("audio"):
+                        out.append(os.path.join(root, n))
+        else:
+            out.append(p)
+    return out
+
+
+def cmd_analyze(args) -> int:
+    import bliss_tpu
+
+    status = 0
+    for f in args.files:
+        try:
+            s = bliss_tpu.analyze(f)
+        except Exception as e:  # noqa: BLE001 - CLI reports and continues
+            print(f"Couldn't analyze {f}: {e}", file=sys.stderr)
+            status = 1
+            continue
+        label = {0: "Loud", 1: "Calm"}.get(s.calm_or_loud, "Unknown")
+        fv = s.force_vector
+        print(f"Analysis for music: {f}")
+        print("Note: every value here is *after* resampling")
+        print(f"Force: {s.force:f}")
+        print(
+            f"Force vector: ({fv.tempo:f}, {fv.amplitude:f}, "
+            f"{fv.frequency:f}, {fv.attack:f})"
+        )
+        print(f"Channels: {s.channels}")
+        print(f"Number of samples: {s.nSamples}")
+        print(f"Sample rate: {s.sample_rate}")
+        print(f"Bitrate: {s.bitrate}")
+        print(f"Number of bytes per sample: {s.nb_bytes_per_sample}")
+        print(f"Calm or loud: {label}")
+        print(f"Duration: {s.duration}")
+        print(f"Artist: {s.artist}")
+        print(f"Title: {s.title}")
+        print(f"Album: {s.album}")
+        print(f"Track number: {s.tracknumber}")
+        print(f"Genre: {s.genre}")
+    return status
+
+
+def cmd_distance(args) -> int:
+    import bliss_tpu
+
+    s1 = bliss_tpu.analyze(args.file1)
+    s2 = bliss_tpu.analyze(args.file2)
+    d = bliss_tpu.distance(s1, s2)
+    c = bliss_tpu.cosine_similarity(s1, s2)
+    print(f"Distance between the two songs: {d:f}")
+    print(f"Cosine similarity between the two songs: {c:f}")
+    return 0
+
+
+def cmd_ml_analyze(args) -> int:
+    from bliss_tpu.pipeline import analyze_library
+    from bliss_tpu.io import decode
+
+    files = _collect_audio_files(args.files)
+    result = analyze_library(files, batch_size=args.batch_size)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for i, f in enumerate(files):
+            if not result.ok[i]:
+                continue
+            title = os.path.splitext(os.path.basename(f))[0]
+            if args.tags:
+                try:
+                    title = decode(f).title
+                except Exception:  # noqa: BLE001
+                    pass
+            t, a, fr, k = result.features[i]
+            out.write(f"{title};{t:f};{a:f};{fr:f};{k:f}\n")
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_detect_gapless(args) -> int:
+    from bliss_tpu.io import decode
+
+    s1 = decode(args.file1)
+    s2 = decode(args.file2)
+    tail = s1.samples[-2:].astype(np.float32)
+    head = s2.samples[:2].astype(np.float32)
+    print("Song 1")
+    print(int(tail[0]))
+    print(int(tail[1]))
+    print("Song 2")
+    print(int(head[0]))
+    print(int(head[1]))
+    diffs = [1.0, 1.0]
+    for ch in (0, 1):
+        if abs(tail[ch]) >= 5 and abs(head[ch]) >= 5:
+            diffs[ch] = abs((tail[ch] - head[ch]) / 32767.0)
+    print(f"Difference between two songs (channel 1): {diffs[0]:f}")
+    print(f"Difference between two songs (channel 2): {diffs[1]:f}")
+    if min(diffs) < args.threshold:
+        print("Gapless!")
+        return 1
+    print("Not Gapless.")
+    return 0
+
+
+def cmd_playlist(args) -> int:
+    from bliss_tpu.pipeline import analyze_library
+    from bliss_tpu.sim import playlist_order
+    from bliss_tpu.store import FeatureStore
+
+    files = _collect_audio_files(args.paths)
+    if args.seed not in files:
+        files = [args.seed] + files
+    store = FeatureStore(args.store) if args.store else None
+    result = analyze_library(files, store=store, batch_size=args.batch_size)
+    valid = [i for i in range(len(files)) if result.ok[i]]
+    feats = result.features[valid]
+    seed_pos = valid.index(files.index(args.seed))
+    order = np.asarray(playlist_order(feats, seed_pos))
+    with open(args.output, "w") as f:
+        f.write("#EXTM3U\n")
+        for idx in order[: args.length or len(order)]:
+            f.write(os.path.abspath(files[valid[idx]]) + "\n")
+    print(f"wrote {args.output} ({len(order)} tracks, seed {args.seed})")
+    return 0
+
+
+def cmd_scan(args) -> int:
+    from bliss_tpu.pipeline import analyze_library
+    from bliss_tpu.store import FeatureStore
+
+    files = _collect_audio_files(args.paths)
+    store = FeatureStore(args.store) if args.store else None
+
+    def progress(done, total, msg):
+        pct = 100.0 * done / max(total, 1)
+        print(f"\r[{pct:5.1f}%] {done}/{total} {msg[:60]:60s}", end="", file=sys.stderr)
+
+    result = analyze_library(
+        files, store=store, batch_size=args.batch_size, progress=progress
+    )
+    print("", file=sys.stderr)
+    with open(args.output, "w") as f:
+        f.write("filename;tempo;amplitude;frequency;attack;force\n")
+        force = result.force()
+        for i, name in enumerate(files):
+            if not result.ok[i]:
+                continue
+            t, a, fr, k = result.features[i]
+            f.write(f"{name};{t:f};{a:f};{fr:f};{k:f};{force[i]:f}\n")
+    bad = [f for f in result.errors]
+    print(
+        f"scanned {int(result.ok.sum())}/{len(files)} songs -> {args.output}"
+        + (f" ({len(bad)} failed)" if bad else "")
+    )
+    return 0
+
+
+def cmd_radio(args) -> int:
+    from bliss_tpu.pipeline import analyze_library
+    from bliss_tpu.sim import kmeans
+    from bliss_tpu.store import FeatureStore
+
+    files = _collect_audio_files(args.paths)
+    store = FeatureStore(args.store) if args.store else None
+    result = analyze_library(files, store=store, batch_size=args.batch_size)
+    valid = [i for i in range(len(files)) if result.ok[i]]
+    feats = result.features[valid]
+    _, assign = kmeans(feats, k=args.clusters, iters=50)
+    assign = np.asarray(assign)
+    for c in range(args.clusters):
+        out = os.path.join(args.output_dir, f"radio-{c:02d}.m3u")
+        members = [valid[i] for i in np.where(assign == c)[0]]
+        with open(out, "w") as f:
+            f.write("#EXTM3U\n")
+            for m in members:
+                f.write(os.path.abspath(files[m]) + "\n")
+        print(f"{out}: {len(members)} tracks")
+    return 0
+
+
+def cmd_version(args) -> int:
+    import bliss_tpu
+    from bliss_tpu.io import native_version
+
+    print(f"bliss-tpu {bliss_tpu.version()} (decoder: {native_version()})")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bliss-tpu", description="TPU-native music analysis"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="analyze songs and print reports")
+    a.add_argument("files", nargs="+")
+    a.set_defaults(fn=cmd_analyze)
+
+    d = sub.add_parser("distance", help="distance + cosine similarity of two songs")
+    d.add_argument("file1")
+    d.add_argument("file2")
+    d.set_defaults(fn=cmd_distance)
+
+    m = sub.add_parser("ml-analyze", help="CSV: title;tempo;amplitude;frequency;attack")
+    m.add_argument("files", nargs="+")
+    m.add_argument("-o", "--output", default=None)
+    m.add_argument("--tags", action="store_true", help="use title tags")
+    m.add_argument("--batch-size", type=int, default=16)
+    m.set_defaults(fn=cmd_ml_analyze)
+
+    g = sub.add_parser("detect-gapless", help="detect gapless album transitions")
+    g.add_argument("file1")
+    g.add_argument("file2")
+    g.add_argument("--threshold", type=float, default=0.01)
+    g.set_defaults(fn=cmd_detect_gapless)
+
+    pl = sub.add_parser("playlist", help="write an .m3u ordered by similarity to a seed")
+    pl.add_argument("seed")
+    pl.add_argument("paths", nargs="+")
+    pl.add_argument("-o", "--output", default="playlist.m3u")
+    pl.add_argument("--length", type=int, default=None)
+    pl.add_argument("--store", default=None, help="feature store dir (resume)")
+    pl.add_argument("--batch-size", type=int, default=16)
+    pl.set_defaults(fn=cmd_playlist)
+
+    sc = sub.add_parser("scan", help="batch-analyze a library to CSV (resumable)")
+    sc.add_argument("paths", nargs="+")
+    sc.add_argument("-o", "--output", default="features.csv")
+    sc.add_argument("--store", default=None, help="feature store dir (resume)")
+    sc.add_argument("--batch-size", type=int, default=16)
+    sc.set_defaults(fn=cmd_scan)
+
+    r = sub.add_parser("radio", help="k-means auto-playlists over a library")
+    r.add_argument("paths", nargs="+")
+    r.add_argument("--clusters", type=int, default=4)
+    r.add_argument("--output-dir", default=".")
+    r.add_argument("--store", default=None)
+    r.add_argument("--batch-size", type=int, default=16)
+    r.set_defaults(fn=cmd_radio)
+
+    v = sub.add_parser("version", help="print versions")
+    v.set_defaults(fn=cmd_version)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,186 @@
+"""The batch analysis pipeline: audio files -> force vectors, at scale.
+
+This is the production path that turns the reference's one-song-at-a-time
+`bl_analyze` (and its Python examples' sequential scan loops,
+reference: python/examples/make_m3u_playlist.py:50-59) into a pipelined
+host->device system:
+
+  [host threads]  decode + canonicalize PCM  (libav, GIL released)
+        v  bounded prefetch
+  [host]          bucket into fixed (batch, length) shapes  (stable jit keys)
+        v  async dispatch
+  [TPU]           fused batched analyzers   (one jitted program per bucket)
+        v
+  [host]          float64 envelope finish, feature store, progress
+
+Per-song failure isolation: an undecodable file yields a NaN feature row and
+an entry in ScanResult.errors instead of aborting the batch (the batch
+analog of the reference GUI's skip-bad-files behavior). With a FeatureStore,
+already-analyzed files (by content fingerprint) are skipped — resumable
+library scans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from bliss_tpu.config import AnalysisConfig
+from bliss_tpu.features import PCMBatch
+from bliss_tpu.io import iter_decode
+from bliss_tpu.store.feature_store import FeatureStore, file_fingerprint
+from bliss_tpu.utils import StageTimer, get_logger, log_event
+
+logger = get_logger("bliss_tpu.pipeline")
+
+
+@dataclasses.dataclass
+class ScanResult:
+    files: list[str]
+    features: np.ndarray  # [N, 4] float32; NaN rows for failed songs
+    ok: np.ndarray  # [N] bool
+    errors: dict[str, str]
+    stats: dict
+
+    def force(self) -> np.ndarray:
+        t, a, f, k = (self.features[:, i] for i in range(4))
+        return np.maximum(t, 0) + a + f + np.maximum(k, 0)
+
+
+def _bucket_length(n: int, pad_multiple: int) -> int:
+    """Quantize padded lengths to sqrt(2)-spaced buckets so the number of
+    distinct compiled shapes stays O(log(max_len)) across a library."""
+    n = max(n, pad_multiple)
+    exact = max(2 * pad_multiple, 1 << math.ceil(math.log2(n)))
+    half = exact // 2 + exact // 4  # 0.75 * exact, between the powers of two
+    cand = half if n <= half else exact
+    return ((cand + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+
+def analyze_library(
+    files: list[str],
+    *,
+    cfg: AnalysisConfig | None = None,
+    batch_size: int = 64,
+    store: FeatureStore | None = None,
+    mesh=None,
+    num_decode_workers: int | None = None,
+    progress=None,
+) -> ScanResult:
+    """Analyze a library of audio files; returns features in input order.
+
+    progress: optional callback (done, total, message).
+    """
+    from bliss_tpu.api import analyze_features
+
+    if cfg is None:
+        from bliss_tpu.api import default_config
+
+        cfg = default_config()
+    timer = StageTimer()
+    n_total = len(files)
+    features = np.full((n_total, 4), np.nan, np.float32)
+    ok = np.zeros(n_total, bool)
+    errors: dict[str, str] = {}
+    done = 0
+
+    def _progress(msg):
+        if progress:
+            progress(done, n_total, msg)
+
+    # --- feature-store lookups (resume) -------------------------------------
+    todo: list[int] = []
+    fps: dict[int, str] = {}
+    if store is not None:
+        with timer.stage("fingerprint"):
+            for i, f in enumerate(files):
+                try:
+                    fp = file_fingerprint(f)
+                except OSError as e:
+                    errors[f] = f"stat/read failed: {e}"
+                    continue
+                fps[i] = fp
+                cached = store.get(fp)
+                if cached is not None:
+                    features[i] = cached
+                    ok[i] = True
+                else:
+                    todo.append(i)
+        done = int(ok.sum())
+        log_event(
+            logger, "store lookup", cached=done, todo=len(todo), total=n_total
+        )
+    else:
+        todo = [i for i, f in enumerate(files) if f not in errors]
+
+    # --- decode stream -> buckets -> device ---------------------------------
+    buckets: dict[int, list] = {}
+
+    def run_bucket(L: int, entries: list) -> None:
+        nonlocal done
+        pad = batch_size - len(entries)
+        arrays = [d.samples for _, d in entries]
+        durs = [d.duration for _, d in entries]
+        if pad:
+            arrays += [np.zeros(1024, np.int16)] * pad
+            # dummy rows: a blip avoids degenerate all-zero songs
+            for a in arrays[len(entries):]:
+                a[100] = 1000
+            durs += [1] * pad
+        with timer.stage("pad"):
+            samples = np.zeros((batch_size, L), np.int16)
+            for r, a in enumerate(arrays):
+                samples[r, : a.shape[0]] = a
+            batch = PCMBatch(
+                samples,
+                np.array([a.shape[0] for a in arrays], np.int32),
+                np.array(durs, np.int32),
+            )
+        with timer.stage("device_analyze"):
+            if mesh is not None:
+                from bliss_tpu.parallel import analyze_sharded
+
+                feats = np.asarray(analyze_sharded(batch, mesh, cfg))
+            else:
+                feats = analyze_features(batch, cfg)
+        for (i, d), row in zip(entries, feats):
+            features[i] = row
+            ok[i] = True
+            done += 1
+            if store is not None and i in fps:
+                store.put(
+                    fps[i],
+                    row,
+                    {"filename": files[i], "title": d.title, "artist": d.artist},
+                )
+        if store is not None:
+            store.flush()
+        _progress(f"analyzed batch of {len(entries)} (L={L})")
+
+    with timer.stage("scan"):
+        stream = iter_decode(
+            [files[i] for i in todo],
+            num_workers=num_decode_workers,
+            on_error="skip",
+        )
+        for j, (fname, decoded) in zip(todo, stream):
+            if decoded is None:
+                errors[files[j]] = "decode failed"
+                done += 1
+                _progress(f"skipped {files[j]}")
+                continue
+            L = _bucket_length(decoded.n_samples, cfg.pad_multiple)
+            buckets.setdefault(L, []).append((j, decoded))
+            if len(buckets[L]) == batch_size:
+                run_bucket(L, buckets.pop(L))
+        for L in sorted(buckets):
+            run_bucket(L, buckets.pop(L))
+
+    stats = timer.report()
+    stats["errors"] = len(errors)
+    log_event(logger, "scan complete", total=n_total, ok=int(ok.sum()), **{
+        k: v["seconds"] for k, v in timer.report().items()
+    })
+    return ScanResult(list(files), features, ok, errors, stats)

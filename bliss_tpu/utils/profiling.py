@@ -1,0 +1,63 @@
+"""Profiling hooks: per-stage wall timers + jax.profiler integration.
+
+The reference has no tracing (SURVEY.md §5 — its one perf artifact is a
+comment about cutting the filterbank for CPU cost). Here pipeline stages
+report into a StageTimer and device work can be captured with
+jax.profiler traces for xprof/tensorboard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+
+class StageTimer:
+    """Accumulates wall time and counts per named stage."""
+
+    def __init__(self):
+        self.seconds = defaultdict(float)
+        self.counts = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.seconds[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self) -> dict:
+        return {
+            name: {
+                "seconds": round(self.seconds[name], 4),
+                "count": self.counts[name],
+            }
+            for name in sorted(self.seconds)
+        }
+
+
+@contextlib.contextmanager
+def trace_annotation(name: str):
+    """Annotate a region in jax.profiler traces (no-op if unavailable)."""
+    try:
+        import jax
+
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    except Exception:
+        yield
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a device profile for xprof/tensorboard."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,100 @@
+"""CLI smoke tests covering every subcommand (the reference's examples/)."""
+
+import os
+import shutil
+
+import pytest
+
+from bliss_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def library(tmp_path_factory, ):
+    d = tmp_path_factory.mktemp("lib")
+    for name in ("song.flac", "song_s32.flac", "song_s32_mono.flac"):
+        shutil.copy(f"/root/reference/audio/{name}", d / name)
+    return d
+
+
+def test_cli_analyze(capsys, fixture_dir):
+    rc = main(["analyze", os.path.join(fixture_dir, "song.flac")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Force vector: (-8.9454" in out
+    assert "Calm or loud: Calm" in out
+    assert "Artist: David TMX" in out
+    assert "Number of samples: 488138" in out
+
+
+def test_cli_distance(capsys, fixture_dir):
+    rc = main([
+        "distance",
+        os.path.join(fixture_dir, "song.flac"),
+        os.path.join(fixture_dir, "song_s32.flac"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Distance between the two songs: 0.7" in out
+    assert "Cosine similarity between the two songs: 0.99" in out
+
+
+def test_cli_detect_gapless(capsys, fixture_dir):
+    f = os.path.join(fixture_dir, "song.flac")
+    rc = main(["detect-gapless", f, f])
+    out = capsys.readouterr().out
+    # the fixture fades out to near-silence, so its own head/tail don't link
+    assert "Not Gapless." in out
+    assert rc == 0
+
+
+def test_cli_ml_analyze(capsys, library, tmp_path):
+    out_file = tmp_path / "ml.csv"
+    rc = main(["ml-analyze", str(library / "song.flac"), "-o", str(out_file),
+               "--batch-size", "2"])
+    assert rc == 0
+    line = out_file.read_text().strip()
+    parts = line.split(";")
+    assert parts[0] == "song"
+    assert abs(float(parts[1]) - (-8.945454)) < 1e-3
+
+
+def test_cli_scan_and_playlist(capsys, library, tmp_path):
+    csv = tmp_path / "features.csv"
+    store = tmp_path / "store"
+    rc = main([
+        "scan", str(library), "-o", str(csv), "--store", str(store),
+        "--batch-size", "2",
+    ])
+    assert rc == 0
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0].startswith("filename;tempo")
+    assert len(lines) == 4  # header + 3 songs
+
+    m3u = tmp_path / "p.m3u"
+    rc = main([
+        "playlist", str(library / "song.flac"), str(library),
+        "-o", str(m3u), "--store", str(store), "--batch-size", "2",
+    ])
+    assert rc == 0
+    entries = m3u.read_text().strip().splitlines()
+    assert entries[0] == "#EXTM3U"
+    assert entries[1].endswith("song.flac")  # seed is its own nearest
+    assert len(entries) == 4
+
+
+def test_cli_radio(capsys, library, tmp_path):
+    rc = main([
+        "radio", str(library), "--clusters", "2",
+        "--output-dir", str(tmp_path), "--store", str(tmp_path / "st"),
+        "--batch-size", "2",
+    ])
+    assert rc == 0
+    m3us = sorted(p for p in os.listdir(tmp_path) if p.endswith(".m3u"))
+    assert len(m3us) == 2
+
+
+def test_cli_version(capsys):
+    rc = main(["version"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "bliss-tpu" in out

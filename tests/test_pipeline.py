@@ -1,0 +1,88 @@
+"""Pipeline + feature store: batch scans, resume, failure isolation."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from bliss_tpu.config import AnalysisConfig
+from bliss_tpu.pipeline import analyze_library, _bucket_length
+from bliss_tpu.store import FeatureStore
+from bliss_tpu.store.feature_store import file_fingerprint
+
+GOLDEN_SONG = np.array([-8.945454, -10.641844, -10.136086, -15.560563])
+CFG = AnalysisConfig.for_parity()
+
+
+def test_bucket_length_quantization():
+    # sqrt(2)-spaced buckets, always multiples of pad_multiple
+    seen = {_bucket_length(n, 1024) for n in range(1000, 3_000_000, 7919)}
+    assert all(b % 1024 == 0 for b in seen)
+    assert len(seen) < 25
+    for n in (1000, 500_000, 2_999_999):
+        assert _bucket_length(n, 1024) >= n
+
+
+def test_analyze_library_end_to_end(fixture_dir, tmp_path):
+    bad = tmp_path / "broken.flac"
+    bad.write_bytes(b"garbage")
+    files = [
+        os.path.join(fixture_dir, "song.flac"),
+        str(bad),
+        os.path.join(fixture_dir, "song_s32.flac"),
+    ]
+    result = analyze_library(files, cfg=CFG, batch_size=2)
+    assert result.ok.tolist() == [True, False, True]
+    assert str(bad) in result.errors
+    np.testing.assert_allclose(result.features[0], GOLDEN_SONG, atol=1e-5)
+    assert np.isnan(result.features[1]).all()
+    force = result.force()
+    assert abs(force[0] - (-20.777929)) < 1e-4
+
+
+def test_analyze_library_store_resume(fixture_dir, tmp_path):
+    src = os.path.join(fixture_dir, "song.flac")
+    files = [src, os.path.join(fixture_dir, "song_s32.flac")]
+    store = FeatureStore(str(tmp_path / "store"))
+    r1 = analyze_library(files, cfg=CFG, batch_size=2, store=store)
+    assert r1.ok.all()
+    assert len(store) == 2
+
+    # Second scan must be served from the store (no decode/analyze work).
+    store2 = FeatureStore(str(tmp_path / "store"))  # fresh load from disk
+    r2 = analyze_library(files, cfg=CFG, batch_size=2, store=store2)
+    assert r2.ok.all()
+    assert r2.stats.get("device_analyze", {"count": 0})["count"] == 0
+    np.testing.assert_allclose(r1.features, r2.features, atol=0)
+
+    # A renamed copy keeps its cached features (content fingerprinting).
+    renamed = tmp_path / "renamed.flac"
+    shutil.copy(src, renamed)
+    r3 = analyze_library([str(renamed)], cfg=CFG, batch_size=2, store=store2)
+    assert r3.ok.all()
+    assert r3.stats.get("device_analyze", {"count": 0})["count"] == 0
+    np.testing.assert_allclose(r3.features[0], r1.features[0], atol=0)
+
+
+def test_fingerprint_properties(fixture_dir, tmp_path):
+    src = os.path.join(fixture_dir, "song.flac")
+    fp1 = file_fingerprint(src)
+    assert fp1 == file_fingerprint(src)
+    cp = tmp_path / "copy.flac"
+    shutil.copy(src, cp)
+    assert file_fingerprint(str(cp)) == fp1
+    other = file_fingerprint(os.path.join(fixture_dir, "song_s32.flac"))
+    assert other != fp1
+
+
+def test_store_flush_and_compact(tmp_path):
+    store = FeatureStore(str(tmp_path / "s"))
+    for i in range(5):
+        store.put(f"key{i}", np.arange(4) + i, {"filename": f"f{i}"})
+        store.flush()
+    store.compact()
+    reloaded = FeatureStore(str(tmp_path / "s"))
+    assert len(reloaded) == 5
+    np.testing.assert_array_equal(reloaded.get("key3"), np.arange(4) + 3)
+    assert reloaded.metadata("key3")["filename"] == "f3"
