@@ -10,10 +10,13 @@ Method
 - TPU side: the full float32 analysis program (amplitude 'poly' mode,
   frequency DFT-matmul, Parseval tempo energies, blocked IIR envelope) over
   64-song device-resident batches of the reference's own 11-second fixture
-  (distinct per-song content via rolls); K batches dispatched back-to-back,
-  one sync. Outputs are reduced on device to keep the (slow, sandbox-only)
-  host tunnel out of the measurement; a correctness probe separately checks
-  the fetched feature vectors against the reference golden values.
+  (distinct per-song content via rolls). The analysis is repeated R times
+  INSIDE one jitted program (fori_loop with a per-iteration input
+  perturbation to defeat CSE); timing the difference between R2 and R1
+  repeats removes the fixed per-dispatch cost of this sandbox's remote-TPU
+  tunnel (~28 ms/call, measured — it would swamp the sub-ms per-batch
+  compute otherwise). A correctness probe separately checks fetched feature
+  vectors against the reference golden values.
 - Baseline: baseline/bench_ref (the reference built from source against a
   validated FFT shim) looping its three analyzers over the same decoded PCM
   (analysis-only, matching the TPU measurement's scope). The result is
@@ -99,12 +102,22 @@ def main() -> None:
 
     cfg = AnalysisConfig(dtype="float32", amplitude_mode="poly")
 
+    import functools
+
     feats_fn = jax.jit(lambda b: analyze_batch(b, cfg))
 
-    @jax.jit
-    def probe(b):
-        # checksum-style reduction keeps transfer out of the timing loop
-        return jnp.sum(analyze_batch(b, cfg) * (1.0 + jnp.arange(4)))
+    @functools.partial(jax.jit, static_argnames="reps")
+    def repeated(b, reps):
+        # Repeat the full analysis on (perturbed) input inside one program:
+        # amortizes the sandbox tunnel's fixed dispatch cost out of the
+        # measurement. The perturbation (one int16 add) defeats CSE.
+        def body(i, acc):
+            nb = PCMBatch(
+                b.samples + (i % 3).astype(jnp.int16), b.n_samples, b.durations
+            )
+            return acc + jnp.sum(analyze_batch(nb, cfg))
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
     # correctness gate: fetched features must match the reference goldens
     feats = np.asarray(feats_fn(batch))
@@ -112,14 +125,18 @@ def main() -> None:
     assert err[1:].max() < 5e-4, f"feature mismatch vs golden: {feats[0]}"
     assert err[0] < 1.6, f"tempo too far from golden: {feats[0][0]}"
 
-    float(probe(batch))  # compile
-    # steady-state: K batches dispatched back-to-back, one sync each
-    K = 24
-    t0 = time.time()
-    outs = [probe(batch) for _ in range(K)]
-    _ = [float(o) for o in outs]
-    dt = time.time() - t0
-    tpu_songs_per_sec = B * K / dt
+    R1, R2, TRIALS = 4, 24, 3
+    float(repeated(batch, R1))  # compile
+    float(repeated(batch, R2))
+
+    def timed(reps):
+        t0 = time.time()
+        for _ in range(TRIALS):
+            float(repeated(batch, reps))
+        return (time.time() - t0) / TRIALS
+
+    per_batch = (timed(R2) - timed(R1)) / (R2 - R1)
+    tpu_songs_per_sec = B / per_batch
 
     vs = tpu_songs_per_sec / baseline["cpu_analysis_songs_per_sec"]
     print(
@@ -133,7 +150,7 @@ def main() -> None:
                     "cpu_analysis_songs_per_sec"
                 ],
                 "batch": B,
-                "batches_timed": K,
+                "ms_per_batch": round(per_batch * 1000, 2),
                 "device": str(jax.devices()[0]),
                 "max_feature_err_vs_golden": float(err[1:].max()),
             }

@@ -33,7 +33,10 @@ class AnalysisConfig:
     spectrum_mode: str = "matmul"
 
     # Tempo window energies: "parseval" avoids FFTs entirely (quadratic form
-    # in the FIR output); "fft" computes the literal per-window spectrum sum.
+    # in the FIR output) and computes blockwise from the global convolution
+    # with 16-tap warm-up corrections (no overlapped-window tensor);
+    # "parseval_framed" is the explicit-window variant (cross-check);
+    # "fft" computes the literal per-window spectrum sum.
     tempo_energy_mode: str = "parseval"
 
     # Butterworth IIR: "blocked" uses the dense block recurrence (MXU,

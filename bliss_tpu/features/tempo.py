@@ -52,20 +52,78 @@ def envelope_energies(batch: PCMBatch, cfg: AnalysisConfig) -> jnp.ndarray:
 
     norm = _normalize_signal(s, n, cfg)  # [B, L], zero beyond n
 
-    frames = frame_signal(norm, W, hop)  # [B, NW, W], NW = L//hop - 1
-    NW = frames.shape[1]
-    y = _fir_per_window(frames, dtype)
+    if cfg.tempo_energy_mode == "parseval":
+        energy = _window_energy_blocked(norm, cfg)  # [B, NW]
+    else:
+        frames = frame_signal(norm, W, hop)  # [B, NW, W], NW = L//hop - 1
+        y = _fir_per_window(frames, dtype)
+        energy = _window_energy(y, cfg)
+    NW = energy.shape[1]
 
     trunc_n = n - n % W
     n_windows = -((-(trunc_n - W)) // hop)  # ceil(iteration_number / hop)
     wmask = jnp.arange(NW, dtype=jnp.int32)[None, :] < n_windows[:, None]
-    energy = _window_energy(y, cfg) * wmask.astype(dtype)  # [B, NW]
+    energy = energy * wmask.astype(dtype)
 
     # Window energies land in nb_frames slots; trailing slots stay zero
     # (reference: filtered_array is calloc'd with nb_frames entries while
     # only ~nb_frames-2 windows run).
     NBF = L // hop
     return jnp.pad(energy, ((0, 0), (0, NBF - NW)))
+
+
+def _window_energy_blocked(norm: jnp.ndarray, cfg: AnalysisConfig):
+    """Per-window spectral energies WITHOUT materializing the overlapped
+    window tensor.
+
+    Exploits two identities:
+    - Parseval: sum_{k=0..256} |DFT(y)_k|^2 = 256*sum(y^2)
+      + ((sum y)^2 + (sum (-1)^t y)^2) / 2  — no FFT.
+    - The window-reset FIR equals the global causal convolution z except at
+      the 16 warm-up positions of each window, where it differs by a 16x16
+      matmul of the preceding history (tables.fir_warmup_correction).
+
+    So the whole stage is one 17-tap convolution pass over the signal,
+    blockwise partial sums, and tiny per-window corrections — ~6x less HBM
+    traffic than framing at hop 256 (which doubles the data) and no
+    [B, NW, 512] intermediate.
+    """
+    dtype = cfg.jnp_dtype
+    B, L = norm.shape
+    hop = C.TEMPO_HOP
+    W = C.WINDOW_SIZE
+    NBF = L // hop
+    NW = NBF - 1
+    k = C.NB_FIR_COEFFS
+    coeffs = C.FIR_BANDPASS
+
+    xp = jnp.pad(norm, ((0, 0), (k - 1, 0)))
+    z = jnp.zeros_like(norm)
+    for m in range(k):
+        z = z + jnp.asarray(coeffs[m], dtype) * xp[:, k - 1 - m : k - 1 - m + L]
+
+    alt = jnp.asarray(
+        tables.parseval_alt_sign()[:hop], dtype
+    )  # (-1)^t pattern; blocks have even offsets so one period suffices
+    zb = z.reshape(B, NBF, hop)
+    S2 = jnp.sum(zb * zb, axis=-1)
+    S1 = jnp.sum(zb, axis=-1)
+    SA = jnp.sum(zb * alt, axis=-1)
+
+    # 16-sample history before each block + the block's first 16 z values.
+    hist = jnp.pad(norm, ((0, 0), (16, 0)))[:, :L].reshape(B, NBF, hop)[:, :, :16]
+    zh = zb[:, :, :16]
+    M = jnp.asarray(tables.fir_warmup_correction(), dtype)
+    delta = jnp.einsum("bwk,jk->bwj", hist, M)
+    alt16 = alt[:16]
+    d_s2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
+    d_s1 = jnp.sum(delta, axis=-1)
+    d_sa = jnp.sum(delta * alt16, axis=-1)
+
+    sum_y2 = S2[:, :NW] + S2[:, 1:] + d_s2[:, :NW]
+    sum_y = S1[:, :NW] + S1[:, 1:] + d_s1[:, :NW]
+    sum_a = SA[:, :NW] + SA[:, 1:] + d_sa[:, :NW]
+    return (W / 2) * sum_y2 + (sum_y * sum_y + sum_a * sum_a) / 2.0
 
 
 def envelope_scores(
@@ -160,7 +218,7 @@ def _fir_per_window(frames: jnp.ndarray, dtype) -> jnp.ndarray:
 def _window_energy(y: jnp.ndarray, cfg: AnalysisConfig) -> jnp.ndarray:
     """sum_{k=0..W/2} |DFT(y)_k|^2 per window: [B, NW, W] -> [B, NW]."""
     dtype = cfg.jnp_dtype
-    if cfg.tempo_energy_mode == "parseval":
+    if cfg.tempo_energy_mode in ("parseval", "parseval_framed"):
         alt = jnp.asarray(tables.parseval_alt_sign(), dtype)
         total = jnp.sum(y * y, axis=-1)
         dc = jnp.sum(y, axis=-1)

@@ -117,6 +117,30 @@ def rdft_matrices() -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
+def fir_warmup_correction() -> np.ndarray:
+    """16x16 matrix M with delta = M @ history.
+
+    The tempo analyzer resets its FIR state at every 512-sample window
+    (hop 256). Since windows overlap, the per-window FIR output equals the
+    GLOBAL causal convolution z everywhere except the first 16 warm-up
+    positions, where the window output y differs by
+        delta_j = y_w[j] - z[b+j] = -sum_{k=j..15} c_{j+16-k} * h_k,
+    with h the 16 samples preceding the window. M[j, k] encodes that sum, so
+    the whole warm-up correction is one tiny matmul per window — this is
+    what lets the energy computation run blockwise without materializing
+    the 2x-overlapped window tensor.
+    """
+    from bliss_tpu import constants as C
+
+    c = C.FIR_BANDPASS
+    M = np.zeros((16, 16))
+    for j in range(16):
+        for k in range(j, 16):
+            M[j, k] = -c[j + 16 - k]
+    return M
+
+
+@functools.lru_cache(maxsize=None)
 def parseval_alt_sign() -> np.ndarray:
     """(-1)^n vector for the Nyquist-bin term of the Parseval identity."""
     s = np.ones(C.WINDOW_SIZE)

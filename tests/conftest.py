@@ -31,23 +31,29 @@ sys.path.insert(0, os.path.dirname(__file__))
 FIXTURES = "/root/reference/audio"
 
 
+def _require_fixtures():
+    if not os.path.isdir(FIXTURES):
+        pytest.skip("reference audio fixtures not available")
+    return FIXTURES
+
+
 @pytest.fixture(scope="session")
 def fixture_dir():
-    return FIXTURES
+    return _require_fixtures()
 
 
 @pytest.fixture(scope="session")
 def decoded_song():
     from bliss_tpu.io import decode
 
-    return decode(os.path.join(FIXTURES, "song.flac"))
+    return decode(os.path.join(_require_fixtures(), "song.flac"))
 
 
 @pytest.fixture(scope="session")
 def decoded_s32():
     from bliss_tpu.io import decode
 
-    return decode(os.path.join(FIXTURES, "song_s32.flac"))
+    return decode(os.path.join(_require_fixtures(), "song_s32.flac"))
 
 
 def synth_pcm(rng: np.random.RandomState, n: int, amp: int = 12000) -> np.ndarray:

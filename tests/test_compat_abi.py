@@ -1,0 +1,92 @@
+"""C-ABI compatibility: the REFERENCE'S OWN test programs, compiled against
+bliss-tpu's libbliss.so, must pass.
+
+This is the strongest parity statement the framework makes: unmodified C
+callers of the reference library (including its golden-value and MD5 test
+binaries) link and run against bliss_tpu/compat/libbliss.so unchanged.
+"""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COMPAT = os.path.join(REPO, "bliss_tpu", "compat")
+REF = "/root/reference"
+
+
+def _build_compat():
+    r = subprocess.run(["make", "-C", COMPAT], capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"compat lib build unavailable: {r.stderr[-400:]}")
+
+
+def _compile_ref_test(src: str, out: str, extra_libs=()):
+    cflags = subprocess.run(
+        ["pkg-config", "--cflags", "libavformat", "libavutil"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    cmd = (
+        ["gcc", "-O2", "-o", out, src, f"-I{COMPAT}/include"]
+        + cflags
+        + [f"-L{COMPAT}", "-lbliss", *extra_libs, "-lm", f"-Wl,-rpath,{COMPAT}"]
+    )
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+@pytest.fixture(scope="module")
+def ref_test_env(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference checkout not available")
+    if shutil.which("gcc") is None:
+        pytest.skip("no C compiler")
+    _build_compat()
+    # The reference tests expect ../audio relative to their cwd.
+    root = tmp_path_factory.mktemp("refabi")
+    run = root / "run"
+    run.mkdir()
+    os.symlink(os.path.join(REF, "audio"), root / "audio")
+    return run
+
+
+def _run(binary, cwd):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # compat bootstrap pins CPU itself
+    return subprocess.run(
+        [binary], cwd=cwd, capture_output=True, text=True, env=env, timeout=600
+    )
+
+
+def test_reference_test_analyze_passes(ref_test_env):
+    binary = str(ref_test_env / "test_analyze")
+    _compile_ref_test(os.path.join(REF, "tests", "test_analyze.c"), binary)
+    r = _run(binary, ref_test_env)
+    assert r.returncode == 0, f"stdout={r.stdout!r} stderr={r.stderr[-500:]!r}"
+
+
+def test_reference_test_decode_passes(ref_test_env):
+    binary = str(ref_test_env / "test_decode")
+    _compile_ref_test(
+        os.path.join(REF, "tests", "test_decode.c"), binary, ("-lavutil",)
+    )
+    r = _run(binary, ref_test_env)
+    assert r.returncode == 0, f"stdout={r.stdout!r} stderr={r.stderr[-500:]!r}"
+
+
+def test_reference_example_analyze_runs(ref_test_env):
+    binary = str(ref_test_env / "analyze")
+    _compile_ref_test(os.path.join(REF, "examples", "analyze.c"), binary)
+    r = subprocess.run(
+        [binary, os.path.join(REF, "audio", "song.flac")],
+        cwd=ref_test_env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0
+    assert "Force vector: (-8.945" in r.stdout
+    assert "Artist: David TMX" in r.stdout

@@ -79,12 +79,17 @@ def test_envelope_vs_oracle(signals):
 
 def test_envelope_parseval_vs_fft(signals):
     batch = _batch(signals)
-    pv = envelope_scores(batch, PARITY)
+    pv = envelope_scores(batch, PARITY)  # blocked parseval (default)
+    fr = envelope_scores(
+        batch,
+        AnalysisConfig(dtype="float64", tempo_energy_mode="parseval_framed"),
+    )
     ff = envelope_scores(
         batch, AnalysisConfig(dtype="float64", tempo_energy_mode="fft")
     )
-    np.testing.assert_allclose(np.asarray(pv[0]), np.asarray(ff[0]), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(pv[1]), np.asarray(ff[1]), atol=1e-9)
+    for other in (fr, ff):
+        np.testing.assert_allclose(np.asarray(pv[0]), np.asarray(other[0]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(pv[1]), np.asarray(other[1]), atol=1e-9)
 
 
 def test_envelope_blocked_iir_vs_scan(signals):
