@@ -56,6 +56,12 @@ class AnalysisConfig:
     # exact beat-count parity on backends without float64 (TPU).
     tempo_finish: str = "device"
 
+    # Tempo filterbank: 1 band with the reference's published 17-tap filter
+    # is parity mode; nb_bands > 1 enables the extended multi-band Klapuri
+    # front-end (tables.bandpass_filterbank) the reference cut for CPU cost.
+    nb_bands: int = 1
+    band_taps: int = 17
+
     # Sequence padding multiple for batched analysis. Must be a multiple of
     # 1024 (stereo frequency frames of 512 per channel).
     pad_multiple: int = 1024

@@ -37,11 +37,12 @@ from bliss_tpu.dsp.intops import c_div
 from bliss_tpu.features.types import PCMBatch
 
 
-def envelope_energies(batch: PCMBatch, cfg: AnalysisConfig) -> jnp.ndarray:
-    """Part 1 (the FLOP-heavy stage): per-window spectral energies.
+def band_energies(batch: PCMBatch, cfg: AnalysisConfig) -> jnp.ndarray:
+    """Part 1 (the FLOP-heavy stage): per-band per-window spectral energies.
 
-    Returns fa [B, NBF] with NBF = L // hop; per song, slots past its
-    nb_frames stay zero. This is the device half of the hybrid tempo path.
+    Returns fa [B, NB, NBF] with NBF = L // hop; per song, slots past its
+    nb_frames stay zero. NB = cfg.nb_bands (1 in parity mode; >1 selects the
+    extended multi-band Klapuri front-end, tables.bandpass_filterbank).
     """
     dtype = cfg.jnp_dtype
     W = C.WINDOW_SIZE
@@ -51,39 +52,52 @@ def envelope_energies(batch: PCMBatch, cfg: AnalysisConfig) -> jnp.ndarray:
     n = batch.n_samples
 
     norm = _normalize_signal(s, n, cfg)  # [B, L], zero beyond n
+    fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps)
 
     if cfg.tempo_energy_mode == "parseval":
-        energy = _window_energy_blocked(norm, cfg)  # [B, NW]
+        energy = _window_energy_blocked(norm, fb, cfg)  # [B, NB, NW]
     else:
         frames = frame_signal(norm, W, hop)  # [B, NW, W], NW = L//hop - 1
-        y = _fir_per_window(frames, dtype)
-        energy = _window_energy(y, cfg)
-    NW = energy.shape[1]
+        per_band = [
+            _window_energy(_fir_per_window(frames, dtype, fb[b]), cfg)
+            for b in range(fb.shape[0])
+        ]
+        energy = jnp.stack(per_band, axis=1)
+    NW = energy.shape[-1]
 
     trunc_n = n - n % W
     n_windows = -((-(trunc_n - W)) // hop)  # ceil(iteration_number / hop)
     wmask = jnp.arange(NW, dtype=jnp.int32)[None, :] < n_windows[:, None]
-    energy = energy * wmask.astype(dtype)
+    energy = energy * wmask[:, None, :].astype(dtype)
 
     # Window energies land in nb_frames slots; trailing slots stay zero
     # (reference: filtered_array is calloc'd with nb_frames entries while
     # only ~nb_frames-2 windows run).
     NBF = L // hop
-    return jnp.pad(energy, ((0, 0), (0, NBF - NW)))
+    return jnp.pad(energy, ((0, 0), (0, 0), (0, NBF - NW)))
 
 
-def _window_energy_blocked(norm: jnp.ndarray, cfg: AnalysisConfig):
+def envelope_energies(batch: PCMBatch, cfg: AnalysisConfig) -> jnp.ndarray:
+    """Single-band view of band_energies ([B, NBF]) — the device half of the
+    hybrid tempo path (parity configuration)."""
+    if cfg.nb_bands != 1:
+        raise ValueError("envelope_energies is the single-band interface")
+    return band_energies(batch, cfg)[:, 0]
+
+
+def _window_energy_blocked(norm: jnp.ndarray, fb, cfg: AnalysisConfig):
     """Per-window spectral energies WITHOUT materializing the overlapped
-    window tensor.
+    window tensor. Returns [B, NB, NW].
 
     Exploits two identities:
-    - Parseval: sum_{k=0..256} |DFT(y)_k|^2 = 256*sum(y^2)
+    - Parseval: sum_{k=0..W/2} |DFT(y)_k|^2 = (W/2)*sum(y^2)
       + ((sum y)^2 + (sum (-1)^t y)^2) / 2  — no FFT.
     - The window-reset FIR equals the global causal convolution z except at
-      the 16 warm-up positions of each window, where it differs by a 16x16
-      matmul of the preceding history (tables.fir_warmup_correction).
+      the first taps-1 warm-up positions of each window, where it differs by
+      a small matmul of the preceding history
+      (tables.fir_warmup_correction).
 
-    So the whole stage is one 17-tap convolution pass over the signal,
+    So the whole stage is one convolution pass over the signal per band,
     blockwise partial sums, and tiny per-window corrections — ~6x less HBM
     traffic than framing at hop 256 (which doubles the data) and no
     [B, NW, 512] intermediate.
@@ -94,35 +108,41 @@ def _window_energy_blocked(norm: jnp.ndarray, cfg: AnalysisConfig):
     W = C.WINDOW_SIZE
     NBF = L // hop
     NW = NBF - 1
-    k = C.NB_FIR_COEFFS
-    coeffs = C.FIR_BANDPASS
+    taps = fb.shape[1]
+    K = taps - 1
 
-    xp = jnp.pad(norm, ((0, 0), (k - 1, 0)))
-    z = jnp.zeros_like(norm)
-    for m in range(k):
-        z = z + jnp.asarray(coeffs[m], dtype) * xp[:, k - 1 - m : k - 1 - m + L]
+    xp = jnp.pad(norm, ((0, 0), (K, 0)))
+    bands = []
+    for b in range(fb.shape[0]):
+        z = jnp.zeros_like(norm)
+        for m in range(taps):
+            z = z + jnp.asarray(fb[b, m], dtype) * xp[:, K - m : K - m + L]
+        bands.append(z)
+    z = jnp.stack(bands, axis=1)  # [B, NB, L]
 
     alt = jnp.asarray(
         tables.parseval_alt_sign()[:hop], dtype
     )  # (-1)^t pattern; blocks have even offsets so one period suffices
-    zb = z.reshape(B, NBF, hop)
+    zb = z.reshape(B, -1, NBF, hop)
     S2 = jnp.sum(zb * zb, axis=-1)
     S1 = jnp.sum(zb, axis=-1)
     SA = jnp.sum(zb * alt, axis=-1)
 
-    # 16-sample history before each block + the block's first 16 z values.
-    hist = jnp.pad(norm, ((0, 0), (16, 0)))[:, :L].reshape(B, NBF, hop)[:, :, :16]
-    zh = zb[:, :, :16]
-    M = jnp.asarray(tables.fir_warmup_correction(), dtype)
-    delta = jnp.einsum("bwk,jk->bwj", hist, M)
-    alt16 = alt[:16]
+    # K-sample history before each block + the block's first K z values.
+    hist = jnp.pad(norm, ((0, 0), (K, 0)))[:, :L].reshape(B, NBF, hop)[:, :, :K]
+    zh = zb[..., :K]
+    M = jnp.asarray(
+        tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps), dtype
+    )
+    delta = jnp.einsum("bwk,njk->bnwj", hist, M)
+    altK = alt[:K]
     d_s2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
     d_s1 = jnp.sum(delta, axis=-1)
-    d_sa = jnp.sum(delta * alt16, axis=-1)
+    d_sa = jnp.sum(delta * altK, axis=-1)
 
-    sum_y2 = S2[:, :NW] + S2[:, 1:] + d_s2[:, :NW]
-    sum_y = S1[:, :NW] + S1[:, 1:] + d_s1[:, :NW]
-    sum_a = SA[:, :NW] + SA[:, 1:] + d_sa[:, :NW]
+    sum_y2 = S2[..., :NW] + S2[..., 1:] + d_s2[..., :NW]
+    sum_y = S1[..., :NW] + S1[..., 1:] + d_s1[..., :NW]
+    sum_a = SA[..., :NW] + SA[..., 1:] + d_sa[..., :NW]
     return (W / 2) * sum_y2 + (sum_y * sum_y + sum_a * sum_a) / 2.0
 
 
@@ -136,12 +156,13 @@ def envelope_scores(
     NBF = L // C.TEMPO_HOP
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP  # reference nb_frames
 
-    fa = envelope_energies(batch, cfg)
+    fa = band_energies(batch, cfg)  # [B, NB, NBF]
+    NB = fa.shape[1]
 
     # --- envelope: log-compress, upsample x2, low-pass, rectified diff -----
     mu = jnp.asarray(C.MU, dtype)
     comp = jnp.log(1.0 + mu * fa) / jnp.log(1.0 + mu)
-    u = jnp.stack([comp, jnp.zeros_like(comp)], axis=-1).reshape(B, 2 * NBF)
+    u = jnp.stack([comp, jnp.zeros_like(comp)], axis=-1).reshape(B, NB, 2 * NBF)
 
     if cfg.iir_mode == "blocked":
         lp = lfilter_blocked(u, block=cfg.iir_block)
@@ -151,21 +172,29 @@ def envelope_scores(
         raise ValueError(f"unknown iir_mode {cfg.iir_mode}")
 
     diff = jnp.concatenate(
-        [lp[:, :1], jnp.maximum(lp[:, 1:] - lp[:, :-1], 0.0)], axis=1
+        [lp[..., :1], jnp.maximum(lp[..., 1:] - lp[..., :-1], 0.0)], axis=-1
     )
     wa = (
         jnp.asarray(C.ENV_LP_WEIGHT, dtype) * lp
         + jnp.asarray(C.ENV_DIFF_WEIGHT, dtype) * diff / 10.0
-    )
+    )  # [B, NB, 2*NBF]
 
-    # --- attack ------------------------------------------------------------
+    # --- attack (summed over bands, reference :246-248) --------------------
     n2 = 2 * nbf  # dynamic per-song envelope length
     j = jnp.arange(2 * NBF, dtype=jnp.int32)[None, :]
     last_excluded = j <= (n2 - 2)[:, None]  # sum runs to 2*nb_frames - 2
-    atk_sum = jnp.sum(wa * last_excluded.astype(dtype), axis=1)
+    atk_sum = jnp.sum(
+        wa * last_excluded[:, None, :].astype(dtype), axis=(1, 2)
+    )
 
     # --- double rectangular smoothing + peak count -------------------------
-    beat = _count_beats(wa, last_excluded, j, n2, cfg)
+    # The band-summed envelope is smoothed; in the reference's 1-band build
+    # the pass-1 output buffer aliases band 0's envelope, whose stale values
+    # survive at the edges — generalized here as the band sum (identical for
+    # NB=1 since smoothed_sum == wa except the final slot).
+    wa_edges = wa[:, 0] if NB == 1 else jnp.sum(wa, axis=1)
+    ss_src = jnp.sum(wa, axis=1)
+    beat = _count_beats(ss_src, wa_edges, last_excluded, j, n2, cfg)
 
     dur = batch.durations.astype(dtype)
     tempo = (
@@ -203,12 +232,13 @@ def _normalize_signal(s: jnp.ndarray, n: jnp.ndarray, cfg: AnalysisConfig):
     return jnp.where(valid, norm, 0.0)
 
 
-def _fir_per_window(frames: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Causal 17-tap FIR with zero state at each window start."""
-    k = C.NB_FIR_COEFFS
+def _fir_per_window(frames: jnp.ndarray, dtype, coeffs=None) -> jnp.ndarray:
+    """Causal FIR with zero state at each window start."""
+    if coeffs is None:
+        coeffs = C.FIR_BANDPASS
+    k = len(coeffs)
     fp = jnp.pad(frames, ((0, 0), (0, 0), (k - 1, 0)))
     W = frames.shape[-1]
-    coeffs = C.FIR_BANDPASS
     y = jnp.zeros_like(frames)
     for m in range(k):
         y = y + jnp.asarray(coeffs[m], dtype) * fp[..., k - 1 - m : k - 1 - m + W]
@@ -232,14 +262,17 @@ def _window_energy(y: jnp.ndarray, cfg: AnalysisConfig) -> jnp.ndarray:
     )
 
 
-def _count_beats(wa, last_excluded, j, n2, cfg):
-    """Two rectangular filters + epsilon peak count (reference :258-280)."""
+def _count_beats(ss_src, wa, last_excluded, j, n2, cfg):
+    """Two rectangular filters + epsilon peak count (reference :258-280).
+
+    ss_src: band-summed envelope; wa: the buffer whose stale values the
+    reference's in-place pass 1 leaves at the edges."""
     dtype = cfg.jnp_dtype
     width = C.RECT_FILTER_WIDTH
     n2c = n2[:, None]
 
     # smoothed_sum: the envelope with its final slot zeroed.
-    ss = wa * last_excluded.astype(dtype)
+    ss = ss_src * last_excluded.astype(dtype)
     box1 = box_sum_same(ss, width)
     # Pass 1 writes box sums into slots half-1..n-half-1 of the *envelope
     # buffer itself*; slot n-half accumulates the tail sum on top of the

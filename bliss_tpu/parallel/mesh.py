@@ -91,6 +91,11 @@ def analyze_sharded(
         s = jnp.concatenate([s, dummy], axis=0)
         n = jnp.concatenate([n, jnp.full((pad_b,), 2048, n.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad_b,), d.dtype)])
+    if cfg.nb_bands != 1:
+        raise NotImplementedError(
+            "sharded analysis currently implements the 1-band (parity) "
+            "tempo front-end"
+        )
     fn = _build_sharded_fn(mesh, cfg)
     return fn(s, n, d)[:B]
 
@@ -226,7 +231,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         j = jnp.arange(2 * NBF, dtype=jnp.int32)[None, :]
         last_excluded = j <= (n2 - 2)[:, None]
         atk_sum = jnp.sum(wa * last_excluded.astype(dtype), axis=1)
-        beat = tempo_mod._count_beats(wa, last_excluded, j, n2, cfg)
+        beat = tempo_mod._count_beats(wa, wa, last_excluded, j, n2, cfg)
 
         tempo = (
             jnp.asarray(C.TEMPO_SCALE, dtype) * beat.astype(dtype)

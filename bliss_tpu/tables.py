@@ -117,26 +117,52 @@ def rdft_matrices() -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def fir_warmup_correction() -> np.ndarray:
-    """16x16 matrix M with delta = M @ history.
+def bandpass_filterbank(nb_bands: int = 1, taps: int = 17) -> np.ndarray:
+    """[nb_bands, taps] FIR bandpass filterbank for the tempo analyzer.
 
-    The tempo analyzer resets its FIR state at every 512-sample window
-    (hop 256). Since windows overlap, the per-window FIR output equals the
-    GLOBAL causal convolution z everywhere except the first 16 warm-up
-    positions, where the window output y differs by
-        delta_j = y_w[j] - z[b+j] = -sum_{k=j..15} c_{j+16-k} * h_k,
-    with h the 16 samples preceding the window. M[j, k] encodes that sum, so
-    the whole warm-up correction is one tiny matmul per window — this is
-    what lets the energy computation run blockwise without materializing
-    the 2x-overlapped window tensor.
+    nb_bands=1, taps=17 is the reference's published single band
+    (constants.FIR_BANDPASS — parity mode). For nb_bands > 1 this designs a
+    fresh log-spaced filterbank with scipy.signal.firwin, realizing the
+    multi-band Klapuri front-end the reference's comments describe cutting
+    to one band "for CPU-consumption reasons"
+    (reference: src/tempo_atk_sort.c:13-14) — affordable on TPU.
     """
     from bliss_tpu import constants as C
 
-    c = C.FIR_BANDPASS
-    M = np.zeros((16, 16))
-    for j in range(16):
-        for k in range(j, 16):
-            M[j, k] = -c[j + 16 - k]
+    if nb_bands == 1 and taps == 17:
+        return C.FIR_BANDPASS[None, :]
+    from scipy.signal import firwin
+
+    nyq = C.SAMPLE_RATE / 2.0
+    edges = np.geomspace(50.0, nyq * 0.92, nb_bands + 1)
+    rows = [
+        firwin(taps, [edges[i], edges[i + 1]], pass_zero=False, fs=C.SAMPLE_RATE)
+        for i in range(nb_bands)
+    ]
+    return np.stack(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def fir_warmup_correction(nb_bands: int = 1, taps: int = 17) -> np.ndarray:
+    """[nb_bands, taps-1, taps-1] matrices M with delta = M @ history.
+
+    The tempo analyzer resets its FIR state at every 512-sample window
+    (hop 256). Since windows overlap, the per-window FIR output equals the
+    GLOBAL causal convolution z everywhere except the first taps-1 warm-up
+    positions, where the window output y differs by
+        delta_j = y_w[j] - z[b+j] = -sum_{k=j..K-1} c_{j+K-k} * h_k,
+    (K = taps-1) with h the K samples preceding the window. M encodes that
+    sum, so the whole warm-up correction is one tiny matmul per window —
+    this is what lets the energy computation run blockwise without
+    materializing the 2x-overlapped window tensor.
+    """
+    fb = bandpass_filterbank(nb_bands, taps)
+    K = taps - 1
+    M = np.zeros((nb_bands, K, K))
+    for b in range(nb_bands):
+        for j in range(K):
+            for k in range(j, K):
+                M[b, j, k] = -fb[b, j + K - k]
     return M
 
 
