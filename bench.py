@@ -100,7 +100,9 @@ def main() -> None:
     host_batch = PCMBatch.from_arrays(arrays, [d.duration] * B)
     batch = PCMBatch(*(jax.device_put(x) for x in host_batch))
 
-    cfg = AnalysisConfig(dtype="float32", amplitude_mode="poly")
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True
+    )
 
     import functools
 

@@ -56,6 +56,11 @@ class AnalysisConfig:
     # exact beat-count parity on backends without float64 (TPU).
     tempo_finish: str = "device"
 
+    # Use the fused Pallas sample-stats kernel (one HBM pass computes the
+    # amplitude reduction + tempo convolution partials). float32,
+    # single-band only; other configurations fall back to the XLA path.
+    fused_kernel: bool = False
+
     # Tempo filterbank: 1 band with the reference's published 17-tap filter
     # is parity mode; nb_bands > 1 enables the extended multi-band Klapuri
     # front-end (tables.bandpass_filterbank) the reference cut for CPU cost.

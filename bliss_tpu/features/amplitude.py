@@ -76,12 +76,16 @@ def _integral_table(s, seg, start, end, cfg):
 
 def _integral_poly(s, seg, start, end, cfg):
     """Gather-free weighted sum: w[s] = T(999-s) - T(-1002-s) with the CDF T
-    evaluated by two Chebyshev halves (tables.amplitude_cdf_poly). TPU
-    gathers serialize per element; this keeps the reduction entirely on the
-    VPU (~2.5e-7 agreement with the exact table)."""
+    evaluated by a Chebyshev fit (tables.amplitude_cdf_poly). TPU gathers
+    serialize per element; this keeps the reduction entirely on the VPU
+    (~2.5e-7 agreement with the exact table).
+
+    The iterated smoothing kernel is symmetric, so its CDF satisfies
+    T(-m-1) = 1 - T(m): only the positive half is fit, and negative
+    arguments fold through that identity — one Clenshaw per CDF evaluation.
+    """
     dtype = cfg.jnp_dtype
-    A, c_neg, c_pos = tables.amplitude_cdf_poly()
-    c_neg = [jnp.asarray(v, dtype) for v in c_neg]
+    A, _, c_pos = tables.amplitude_cdf_poly()
     c_pos = [jnp.asarray(v, dtype) for v in c_pos]
 
     def chebval(t, coeffs):
@@ -92,13 +96,24 @@ def _integral_poly(s, seg, start, end, cfg):
         return coeffs[0] + t * b1 - b2
 
     def T(m):
-        tn = jnp.clip((2.0 * m + A) / A, -1.0, 1.0)
-        tp = jnp.clip((2.0 * m - A) / A, -1.0, 1.0)
-        mid = jnp.where(m < 0, chebval(tn, c_neg), chebval(tp, c_pos))
-        return jnp.where(m <= -A, 0.0, jnp.where(m >= A, 1.0, mid))
+        neg = m < 0
+        mf = jnp.where(neg, -m - 1.0, m)  # fold to the positive half
+        tp = jnp.clip((2.0 * mf - A) / A, -1.0, 1.0)
+        val = chebval(tp, c_pos)
+        val = jnp.where(mf >= A, 1.0, val)
+        return jnp.where(neg, 1.0 - val, val)
 
     sf = s.astype(dtype)
-    w = T(999.0 - sf) - T(-1002.0 - sf)
+    # The two CDF arguments differ by 2001 > 2*A, so at most one is in the
+    # transition band — one Clenshaw evaluation covers both.
+    m1 = 999.0 - sf
+    m2 = -1002.0 - sf
+    act1 = jnp.abs(m1) < A
+    Ta = T(jnp.where(act1, m1, m2))
+    sat1 = jnp.where(m1 >= A, 1.0, 0.0)
+    sat2 = jnp.where(m2 >= A, 1.0, 0.0)
+    T2 = jnp.where(jnp.abs(m2) < A, Ta, sat2)
+    w = jnp.where(act1, Ta - sat2, sat1 - T2)
     dot = jnp.sum(w * seg.astype(dtype), axis=1)
     span = (end - start).astype(dtype)
     return dot * (jnp.asarray(100.0, dtype) / span)

@@ -24,10 +24,49 @@ from bliss_tpu.features.types import PCMBatch
 def analyze_batch(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT) -> jnp.ndarray:
     """[B, 4] float32 force vectors, ordered (tempo, amplitude, frequency,
     attack) like the reference force_vector_s (include/bliss.h:26-31)."""
+    if cfg.fused_kernel and cfg.dtype == "float32" and cfg.nb_bands == 1:
+        amplitude, fa = _fused_amp_and_energies(batch, cfg)
+        frequency = frequency_scores(batch, cfg)
+        from bliss_tpu.features.tempo import envelope_scores_from_energies
+
+        tempo, attack = envelope_scores_from_energies(batch, fa, cfg)
+        return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
     amplitude = amplitude_scores(batch, cfg)
     frequency = frequency_scores(batch, cfg)
     tempo, attack = envelope_scores(batch, cfg)
     return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
+
+
+def _fused_amp_and_energies(batch: PCMBatch, cfg: AnalysisConfig):
+    """Pallas fused path: amplitude score + masked window energies."""
+    from bliss_tpu import constants as Cn
+    from bliss_tpu.kernels import fused_sample_stats
+
+    import jax as _jax
+
+    amp_integral, energies = fused_sample_stats(
+        batch.samples,
+        batch.n_samples,
+        interpret=_jax.default_backend() == "cpu",
+    )
+    amplitude = (
+        jnp.float32(Cn.AMPLITUDE_SCALE) * amp_integral.astype(jnp.float32)
+        + jnp.float32(Cn.AMPLITUDE_BIAS)
+    )
+    # mask windows past each song's count, pad to NBF slots
+    W, hop = Cn.WINDOW_SIZE, Cn.TEMPO_HOP
+    n = batch.n_samples
+    NBF = batch.samples.shape[1] // hop
+    NW = energies.shape[1]
+    trunc_n = n - n % W
+    n_windows = -((-(trunc_n - W)) // hop)
+    wmask = jnp.arange(NW, dtype=jnp.int32)[None, :] < n_windows[:, None]
+    fa = energies * wmask.astype(energies.dtype)
+    if NW < NBF:
+        fa = jnp.pad(fa, ((0, 0), (0, NBF - NW)))
+    else:
+        fa = fa[:, :NBF]
+    return amplitude, fa[:, None, :]  # [B, 1, NBF]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

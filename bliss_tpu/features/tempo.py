@@ -150,13 +150,18 @@ def envelope_scores(
     batch: PCMBatch, cfg: AnalysisConfig
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """([B] tempo, [B] attack), float32. Fully on-device."""
+    return envelope_scores_from_energies(batch, band_energies(batch, cfg), cfg)
+
+
+def envelope_scores_from_energies(
+    batch: PCMBatch, fa: jnp.ndarray, cfg: AnalysisConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Envelope finish from precomputed band energies fa [B, NB, NBF]."""
     dtype = cfg.jnp_dtype
     B, L = batch.samples.shape
     n = batch.n_samples
     NBF = L // C.TEMPO_HOP
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP  # reference nb_frames
-
-    fa = band_energies(batch, cfg)  # [B, NB, NBF]
     NB = fa.shape[1]
 
     # --- envelope: log-compress, upsample x2, low-pass, rectified diff -----

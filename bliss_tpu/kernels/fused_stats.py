@@ -1,0 +1,240 @@
+"""Fused Pallas kernel: one pass over the raw int16 PCM computes
+
+- the amplitude analyzer's weighted sample reduction (Chebyshev CDF
+  evaluation, gather-free), and
+- the tempo analyzer's per-256-block convolution partial sums
+  (S1, S2, S_alt) plus the per-window FIR warm-up corrections
+  (D1, D2, D_alt),
+
+so the two heaviest sample-rate stages read HBM exactly once, convert
+int16->float32 once in VMEM, and write only tiny per-block reductions.
+The frequency analyzer stays on the MXU (DFT matmul) outside this kernel.
+
+Single-band (parity) tempo front-end only; the extended multi-band mode
+uses the XLA path.
+
+Layout: the PCM is viewed as [B, NC, SUB, 128] (SUB*128 = CHUNK samples per
+grid step) to satisfy the TPU (sublane, lane) tiling rules; inside the
+kernel each chunk is a [NBLK, 256] matrix of hop-sized blocks, extended by a
+16-column halo from the previous block row (cross-chunk halo rows arrive as
+a separate input).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bliss_tpu import constants as C
+from bliss_tpu import tables
+
+DEFAULT_CHUNK = 122880   # samples per grid step along L
+BLK = C.TEMPO_HOP        # 256
+K = C.NB_FIR_COEFFS - 1  # warm-up depth (16)
+
+# Output row assignment in the fused [8, NBLK] result tile.
+ROWS = ("s1", "s2", "sa", "d1", "d2", "da", "amp")
+
+
+def _cheb_T(m, coeffs, halfwidth):
+    """Chebyshev evaluation of the smoothing-kernel CDF (positive half +
+    symmetry fold), mirroring features/amplitude._integral_poly."""
+    neg = m < 0
+    mf = jnp.where(neg, -m - 1.0, m)
+    t = jnp.clip((2.0 * mf - halfwidth) / halfwidth, -1.0, 1.0)
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for ck in coeffs[:0:-1]:
+        b1, b2 = ck + 2.0 * t * b1 - b2, b1
+    val = coeffs[0] + t * b1 - b2
+    val = jnp.where(mf >= halfwidth, 1.0, val)
+    return jnp.where(neg, 1.0 - val, val)
+
+
+def _kernel(
+    nse_ref,   # SMEM [1, 1, 2] int32: (start, end) trim bounds
+    ab_ref,    # SMEM [1, 1, 2] float32: (alpha, beta) normalization
+    x_ref,     # VMEM [1, 1, SUB, 128] int16: this chunk's samples
+    halo_ref,  # VMEM [1, 1, 16, 128] int16: last 2048 samples before chunk
+    warm_ref,  # VMEM [16, 16] float32: FIR warm-up correction matrix
+    out_ref,   # VMEM out [1, 1, 8, NBLK] float32: rows per ROWS
+    *,
+    cheb,      # tuple of float coeffs (compile-time)
+    halfwidth,
+    fir,       # tuple of 17 float taps
+    chunk,     # samples per grid step
+):
+    NBLK = chunk // BLK
+    j = pl.program_id(1)
+    xb = x_ref[0, 0].astype(jnp.float32).reshape(NBLK, BLK)
+
+    # ---- amplitude: w(s) = T(999 - s) - T(-1002 - s), masked to [start,end]
+    row = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 1)
+    gidx = j * chunk + row * BLK + col
+    seg = (gidx >= nse_ref[0, 0, 0]) & (gidx <= nse_ref[0, 0, 1])
+    # w(s) = T(999-s) - T(-1002-s); the two arguments differ by 2001 > 2*A,
+    # so at most ONE of them lies in the CDF's transition band — a single
+    # Clenshaw evaluation covers both.
+    m1 = 999.0 - xb
+    m2 = -1002.0 - xb
+    act1 = jnp.abs(m1) < halfwidth
+    Ta = _cheb_T(jnp.where(act1, m1, m2), cheb, halfwidth)
+    sat1 = jnp.where(m1 >= halfwidth, 1.0, 0.0)
+    sat2 = jnp.where(m2 >= halfwidth, 1.0, 0.0)
+    T2 = jnp.where(jnp.abs(m2) < halfwidth, Ta, sat2)
+    w = jnp.where(act1, Ta - sat2, sat1 - T2)
+    amp_val = jnp.sum(jnp.where(seg, w, 0.0))
+
+    # ---- tempo: normalize + halo-extend each hop-block row -----------------
+    alpha = ab_ref[0, 0, 0]
+    beta = ab_ref[0, 0, 1]
+    xn = xb * alpha + beta  # [NBLK, BLK]
+    halo_tail = (
+        halo_ref[0, 0].astype(jnp.float32).reshape(1, 16 * 128)[:, -K:] * alpha
+        + beta
+    )  # [1, K]: the 16 raw samples preceding this chunk, normalized
+    halo_tail = jnp.where(j == 0, jnp.zeros_like(halo_tail), halo_tail)
+    prev_tail = jnp.concatenate([halo_tail, xn[:-1, BLK - K :]], axis=0)
+    ext = jnp.concatenate([prev_tail, xn], axis=1)  # [NBLK, K + BLK]
+
+    z = jnp.zeros_like(xn)
+    for m, cm in enumerate(fir):
+        z = z + cm * ext[:, K - m : K - m + BLK]
+
+    alt = jnp.where(col % 2 == 0, 1.0, -1.0)  # (-1)^t within a block
+    s1 = jnp.sum(z, axis=1)
+    s2 = jnp.sum(z * z, axis=1)
+    sa = jnp.sum(z * alt, axis=1)
+
+    # ---- FIR warm-up corrections per block ---------------------------------
+    hist = ext[:, :K]  # the 16 normalized samples before each block
+    zh = z[:, :K]
+    delta = jax.lax.dot_general(
+        hist, warm_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [NBLK, K]
+    altK = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (NBLK, K), 1) % 2 == 0, 1.0, -1.0
+    )
+    d1 = jnp.sum(delta, axis=1)
+    d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=1)
+    da = jnp.sum(delta * altK, axis=1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NBLK,), 0)
+    amp_row = jnp.where(lane == 0, amp_val, 0.0)
+    out_ref[0, 0] = jnp.stack(
+        [s1, s2, sa, d1, d2, da, amp_row, jnp.zeros_like(s1)]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def fused_sample_stats(samples, n_samples, interpret: bool = False,
+                       chunk: int = DEFAULT_CHUNK):
+    """samples: int16 [B, L]; n_samples: int32 [B].
+
+    Returns (amp_integral [B], energies [B, NW]) where amp_integral is the
+    smoothed-histogram windowed integral (before the affine score) and
+    energies are the per-window Parseval spectral sums (before window-count
+    masking), NW = L//hop - 1. L is padded to a CHUNK multiple internally.
+    """
+    B, L0 = samples.shape
+    CHUNK = min(chunk, ((L0 + BLK - 1) // BLK) * BLK)
+    NBLK = CHUNK // BLK
+    SUB = CHUNK // 128
+    pad = (-L0) % CHUNK
+    x = jnp.pad(samples, ((0, 0), (0, pad))) if pad else samples
+    L = L0 + pad
+    NC = L // CHUNK
+    NBF = L // BLK
+
+    # ---- prepass: trim bounds + integer mean / variance (plain XLA) -------
+    s32 = x.astype(jnp.int32)
+    nz = x != 0
+    idx = jnp.arange(L, dtype=jnp.int32)
+    start = jnp.argmax(nz, axis=1).astype(jnp.int32)
+    end = (L - 1 - jnp.argmax(nz[:, ::-1], axis=1)).astype(jnp.int32)
+    valid = idx[None, :] < n_samples[:, None]
+    mean = jnp.sum(jnp.where(valid, s32, 0), axis=1, dtype=jnp.int32)
+    from bliss_tpu.dsp.intops import c_div
+
+    mean = c_div(mean, n_samples)
+    d = jnp.where(valid, s32 - mean[:, None], 0).astype(jnp.float32)
+    var = jnp.trunc(jnp.sum(d * d, axis=1) / n_samples.astype(jnp.float32))
+    inv = jnp.float32(1.0 / (1 << 15))
+    # xn = alpha * s + beta
+    alpha = inv / (var * inv * inv)
+    beta = -(mean.astype(jnp.float32) * inv) / (var * inv * inv)
+    # The normalized signal should be zero outside [0, n); alpha*0+beta is
+    # not zero, but every window touching the invalid tail is masked by the
+    # caller, so those energies never surface.
+
+    nse = jnp.stack([start, end], axis=1)[:, None, :]
+    ab = jnp.stack([alpha, beta], axis=1)[:, None, :]
+
+    # 2048 raw samples preceding each chunk (chunk 0's row is zero-filled by
+    # the kernel), as [B, NC, 16, 128] tiles.
+    halo = jnp.pad(x, ((0, 0), (16 * 128, 0)))[:, :L]
+    halo = halo.reshape(B, NC, CHUNK)[:, :, : 16 * 128].reshape(B, NC, 16, 128)
+
+    A, _, c_pos = tables.amplitude_cdf_poly()
+    warm = tables.fir_warmup_correction()[0]
+
+    kern = functools.partial(
+        _kernel,
+        cheb=tuple(float(v) for v in c_pos),
+        halfwidth=float(A),
+        fir=tuple(float(v) for v in C.FIR_BANDPASS),
+        chunk=CHUNK,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(B, NC),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, SUB, 128), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 16, 128), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, NBLK), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, NC, 8, NBLK), jnp.float32),
+        interpret=interpret,
+    )(nse, ab, x.reshape(B, NC, SUB, 128), halo, jnp.asarray(warm, jnp.float32))
+
+    s1 = out[:, :, 0, :].reshape(B, NBF)
+    s2 = out[:, :, 1, :].reshape(B, NBF)
+    sa = out[:, :, 2, :].reshape(B, NBF)
+    d1 = out[:, :, 3, :].reshape(B, NBF)
+    d2 = out[:, :, 4, :].reshape(B, NBF)
+    da = out[:, :, 5, :].reshape(B, NBF)
+    amp_integral = jnp.sum(out[:, :, 6, 0], axis=1) * (
+        100.0 / (end - start).astype(jnp.float32)
+    )
+
+    NW = NBF - 1
+    sum_y2 = s2[:, :NW] + s2[:, 1:] + d2[:, :NW]
+    sum_y = s1[:, :NW] + s1[:, 1:] + d1[:, :NW]
+    sum_a = sa[:, :NW] + sa[:, 1:] + da[:, :NW]
+    energies = (C.WINDOW_SIZE / 2) * sum_y2 + (
+        sum_y * sum_y + sum_a * sum_a
+    ) / 2.0
+    return amp_integral, energies

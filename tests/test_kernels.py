@@ -1,0 +1,91 @@
+"""Fused Pallas kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import synth_pcm
+from bliss_tpu import constants as C
+from bliss_tpu.config import AnalysisConfig
+from bliss_tpu.features import PCMBatch
+from bliss_tpu.features.amplitude import amplitude_scores
+from bliss_tpu.features.analyze import analyze_batch
+from bliss_tpu.features.tempo import band_energies
+from bliss_tpu.kernels import fused_sample_stats
+
+CFG = AnalysisConfig(dtype="float32", amplitude_mode="poly")
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(11)
+    a = synth_pcm(rng, 70_000)
+    b = rng.randint(-15000, 15000, size=66_000).astype(np.int16)
+    b[:100] = 0
+    return PCMBatch.from_arrays([a, b], [3, 3])
+
+
+def test_fused_kernel_matches_xla(batch):
+    amp_i, energies = fused_sample_stats(
+        batch.samples, batch.n_samples, interpret=True
+    )
+    amp_kernel = (
+        np.float32(C.AMPLITUDE_SCALE) * np.asarray(amp_i)
+        + np.float32(C.AMPLITUDE_BIAS)
+    )
+    amp_ref = np.asarray(amplitude_scores(batch, CFG))
+    np.testing.assert_allclose(amp_kernel, amp_ref, atol=2e-5)
+
+    fa_ref = np.asarray(band_energies(batch, CFG))[:, 0]
+    n = np.asarray(batch.n_samples)
+    NW = energies.shape[1]
+    trunc = n - n % C.WINDOW_SIZE
+    nwin = -(-(trunc - C.WINDOW_SIZE) // C.TEMPO_HOP)
+    wmask = np.arange(NW)[None, :] < nwin[:, None]
+    fa_k = np.asarray(energies) * wmask
+    ref = fa_ref[:, :NW] if NW <= fa_ref.shape[1] else np.pad(
+        fa_ref, ((0, 0), (0, NW - fa_ref.shape[1]))
+    )
+    rel = np.abs(fa_k - ref) / (np.abs(ref) + 1e-3)
+    assert rel.max() < 1e-4
+
+
+def test_fused_analyze_matches_xla(batch):
+    fused = np.asarray(
+        jax.jit(lambda b: analyze_batch(b, AnalysisConfig(
+            dtype="float32", amplitude_mode="poly", fused_kernel=True)))(batch)
+    )
+    ref = np.asarray(
+        jax.jit(lambda b: analyze_batch(b, CFG))(batch)
+    )
+    # tempo is quantized (beat counts); others must agree to float32 noise
+    np.testing.assert_allclose(fused[:, 1:], ref[:, 1:], atol=1e-3)
+    assert np.abs(fused[:, 0] - ref[:, 0]).max() < 1.0
+
+
+def test_multiband_mode_runs_and_differs(batch):
+    from bliss_tpu.features import envelope_scores
+
+    one = envelope_scores(batch, AnalysisConfig(dtype="float64"))
+    five = envelope_scores(
+        batch, AnalysisConfig(dtype="float64", nb_bands=5)
+    )
+    t1, a1 = (np.asarray(x) for x in one)
+    t5, a5 = (np.asarray(x) for x in five)
+    assert np.isfinite(t5).all() and np.isfinite(a5).all()
+    # 5 bands integrate more energy: attack sums must differ
+    assert np.abs(a5 - a1).max() > 1e-3
+
+
+def test_multiband_blocked_vs_framed(batch):
+    from bliss_tpu.features import envelope_scores
+
+    cfg_b = AnalysisConfig(dtype="float64", nb_bands=3)
+    cfg_f = AnalysisConfig(
+        dtype="float64", nb_bands=3, tempo_energy_mode="parseval_framed"
+    )
+    tb, ab = (np.asarray(x) for x in envelope_scores(batch, cfg_b))
+    tf, af = (np.asarray(x) for x in envelope_scores(batch, cfg_f))
+    np.testing.assert_allclose(tb, tf, atol=1e-9)
+    np.testing.assert_allclose(ab, af, atol=1e-9)
