@@ -25,8 +25,10 @@ def analyze_batch(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT) -> jnp.ndarray
     """[B, 4] float32 force vectors, ordered (tempo, amplitude, frequency,
     attack) like the reference force_vector_s (include/bliss.h:26-31)."""
     if cfg.fused_kernel and cfg.dtype == "float32" and cfg.nb_bands == 1:
+        from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
+
         amplitude, fa = _fused_amp_and_energies(batch, cfg)
-        frequency = frequency_scores(batch, cfg)
+        frequency = frequency_scores_fused(batch, cfg)
         from bliss_tpu.features.tempo import envelope_scores_from_energies
 
         tempo, attack = envelope_scores_from_energies(batch, fa, cfg)
