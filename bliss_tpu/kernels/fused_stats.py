@@ -58,7 +58,7 @@ def _cheb_T(m, coeffs, halfwidth):
 def _kernel(
     nse_ref,   # SMEM [1, 1, 2] int32: (start, end) trim bounds
     ab_ref,    # SMEM [1, 1, 2] float32: (alpha, beta) normalization
-    x_ref,     # VMEM [1, 1, SUB, 128] int16: this chunk's samples
+    x_ref,     # VMEM [1, NBLK, 256] int16: this chunk as hop-sized rows
     halo_ref,  # VMEM [1, 1, 16, 128] int16: last 2048 samples before chunk
     warm_ref,  # VMEM [16, 16] float32: FIR warm-up correction matrix
     out_ref,   # VMEM out [1, 1, 8, NBLK] float32: rows per ROWS
@@ -70,7 +70,7 @@ def _kernel(
 ):
     NBLK = chunk // BLK
     j = pl.program_id(1)
-    xb = x_ref[0, 0].astype(jnp.float32).reshape(NBLK, BLK)
+    xb = x_ref[0].astype(jnp.float32)  # [NBLK, BLK]
 
     # ---- amplitude: w(s) = T(999 - s) - T(-1002 - s), masked to [start,end]
     row = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 0)
@@ -99,7 +99,13 @@ def _kernel(
         + beta
     )  # [1, K]: the 16 raw samples preceding this chunk, normalized
     halo_tail = jnp.where(j == 0, jnp.zeros_like(halo_tail), halo_tail)
-    prev_tail = jnp.concatenate([halo_tail, xn[:-1, BLK - K :]], axis=0)
+    # Row-shift the per-block tails down by one (block b's history is block
+    # b-1's last K samples); row 0 takes the cross-chunk halo.
+    tails = pltpu.roll(xn[:, BLK - K :], shift=1, axis=0)  # [NBLK, K]
+    rowK = jax.lax.broadcasted_iota(jnp.int32, (NBLK, K), 0)
+    prev_tail = jnp.where(
+        rowK == 0, jnp.broadcast_to(halo_tail, (NBLK, K)), tails
+    )
     ext = jnp.concatenate([prev_tail, xn], axis=1)  # [NBLK, K + BLK]
 
     z = jnp.zeros_like(xn)
@@ -146,7 +152,6 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
     B, L0 = samples.shape
     CHUNK = min(chunk, ((L0 + BLK - 1) // BLK) * BLK)
     NBLK = CHUNK // BLK
-    SUB = CHUNK // 128
     pad = (-L0) % CHUNK
     x = jnp.pad(samples, ((0, 0), (0, pad))) if pad else samples
     L = L0 + pad
@@ -203,7 +208,7 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
                 (1, 1, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, SUB, 128), lambda i, j: (i, j, 0, 0),
+                (1, NBLK, BLK), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -218,7 +223,7 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
         ),
         out_shape=jax.ShapeDtypeStruct((B, NC, 8, NBLK), jnp.float32),
         interpret=interpret,
-    )(nse, ab, x.reshape(B, NC, SUB, 128), halo, jnp.asarray(warm, jnp.float32))
+    )(nse, ab, x.reshape(B, NC * NBLK, BLK), halo, jnp.asarray(warm, jnp.float32))
 
     s1 = out[:, :, 0, :].reshape(B, NBF)
     s2 = out[:, :, 1, :].reshape(B, NBF)
