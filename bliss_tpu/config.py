@@ -86,9 +86,13 @@ class AnalysisConfig:
 
     @staticmethod
     def for_tpu() -> "AnalysisConfig":
-        """Fast float32 production mode with exact beat-count finish."""
+        """Fast float32 production mode: fused Pallas kernels on device,
+        exact beat-count finish on the host."""
         return AnalysisConfig(
-            dtype="float32", amplitude_mode="poly", tempo_finish="host"
+            dtype="float32",
+            amplitude_mode="poly",
+            tempo_finish="host",
+            fused_kernel=True,
         )
 
 

@@ -80,6 +80,12 @@ def analyze_batch_jit(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT):
 def _device_stage(batch: PCMBatch, cfg: AnalysisConfig):
     """Jitted heavy stage for the hybrid path: amplitude + frequency scores
     plus the tempo window energies."""
+    if cfg.fused_kernel and cfg.dtype == "float32" and cfg.nb_bands == 1:
+        from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
+
+        amplitude, fa = _fused_amp_and_energies(batch, cfg)
+        return amplitude, frequency_scores_fused(batch, cfg), fa[:, 0]
+
     from bliss_tpu.features.tempo import envelope_energies
 
     return (
