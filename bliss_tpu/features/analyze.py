@@ -24,7 +24,7 @@ from bliss_tpu.features.types import PCMBatch
 def analyze_batch(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT) -> jnp.ndarray:
     """[B, 4] float32 force vectors, ordered (tempo, amplitude, frequency,
     attack) like the reference force_vector_s (include/bliss.h:26-31)."""
-    if cfg.fused_kernel and cfg.dtype == "float32" and cfg.nb_bands == 1:
+    if _use_fused(batch, cfg):
         from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
 
         amplitude, fa = _fused_amp_and_energies(batch, cfg)
@@ -37,6 +37,18 @@ def analyze_batch(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT) -> jnp.ndarray
     frequency = frequency_scores(batch, cfg)
     tempo, attack = envelope_scores(batch, cfg)
     return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
+
+
+def _use_fused(batch: PCMBatch, cfg: AnalysisConfig) -> bool:
+    """The fused Pallas kernels cover the float32 single-band configuration
+    on inputs long enough for their tile shapes (clips shorter than ~1.5 s
+    fall back to the XLA path)."""
+    return (
+        cfg.fused_kernel
+        and cfg.dtype == "float32"
+        and cfg.nb_bands == 1
+        and batch.samples.shape[1] >= 65536
+    )
 
 
 def _fused_amp_and_energies(batch: PCMBatch, cfg: AnalysisConfig):
@@ -80,7 +92,7 @@ def analyze_batch_jit(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT):
 def _device_stage(batch: PCMBatch, cfg: AnalysisConfig):
     """Jitted heavy stage for the hybrid path: amplitude + frequency scores
     plus the tempo window energies."""
-    if cfg.fused_kernel and cfg.dtype == "float32" and cfg.nb_bands == 1:
+    if _use_fused(batch, cfg):
         from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
 
         amplitude, fa = _fused_amp_and_energies(batch, cfg)

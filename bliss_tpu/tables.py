@@ -195,7 +195,6 @@ def iir_block_operator(block: int = 256) -> tuple[np.ndarray, ...]:
     imp[0] = 1.0
     h = lfilter(b, a, imp)
     L = np.zeros((T, T))
-    idx = np.arange(T)
     for j in range(T):
         L[j:, j] = h[: T - j]
 
@@ -215,5 +214,4 @@ def iir_block_operator(block: int = 256) -> tuple[np.ndarray, ...]:
         _, zf = lfilter(b, a, u, zi=np.zeros(order))
         M[:, j] = zf
 
-    del idx
     return L, Z, M, N
