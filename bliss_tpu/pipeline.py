@@ -49,6 +49,42 @@ class ScanResult:
         return np.maximum(t, 0) + a + f + np.maximum(k, 0)
 
 
+def _dispatch_analysis(batch: PCMBatch, cfg, mesh):
+    """Start device analysis for a batch; returns a callable that blocks and
+    yields the [B, 4] float32 features (the async half of the pipeline)."""
+    if mesh is not None:
+        from bliss_tpu.parallel import analyze_sharded
+
+        fut = analyze_sharded(batch, mesh, cfg)
+        return lambda: np.asarray(fut)
+    if cfg.tempo_finish == "host":
+        from bliss_tpu.features.analyze import _device_stage
+        from bliss_tpu.features.tempo import envelope_finish_host
+
+        amp, freq, fa = _device_stage(batch, cfg)
+
+        def finish():
+            tempo, attack = envelope_finish_host(
+                np.asarray(fa), np.asarray(batch.n_samples),
+                np.asarray(batch.durations),
+            )
+            return np.stack(
+                [
+                    tempo,
+                    np.asarray(amp, np.float32),
+                    np.asarray(freq, np.float32),
+                    attack,
+                ],
+                axis=1,
+            )
+
+        return finish
+    from bliss_tpu.features import analyze_batch_jit
+
+    fut = analyze_batch_jit(batch, cfg)
+    return lambda: np.asarray(fut)
+
+
 def _bucket_length(n: int, pad_multiple: int) -> int:
     """Quantize padded lengths to sqrt(2)-spaced buckets so the number of
     distinct compiled shapes stays O(log(max_len)) across a library."""
@@ -116,10 +152,14 @@ def analyze_library(
         todo = [i for i, f in enumerate(files) if f not in errors]
 
     # --- decode stream -> buckets -> device ---------------------------------
+    # Device work is dispatched asynchronously: up to `max_in_flight` batches
+    # compute/transfer while host threads keep decoding; results materialize
+    # when a later batch is dispatched (or at drain).
     buckets: dict[int, list] = {}
+    in_flight: list = []  # (entries, L, finalize_callable)
+    max_in_flight = 2
 
-    def run_bucket(L: int, entries: list) -> None:
-        nonlocal done
+    def dispatch_bucket(L: int, entries: list) -> None:
         pad = batch_size - len(entries)
         arrays = [d.samples for _, d in entries]
         durs = [d.duration for _, d in entries]
@@ -138,13 +178,17 @@ def analyze_library(
                 np.array([a.shape[0] for a in arrays], np.int32),
                 np.array(durs, np.int32),
             )
-        with timer.stage("device_analyze"):
-            if mesh is not None:
-                from bliss_tpu.parallel import analyze_sharded
+        with timer.stage("device_dispatch"):
+            fin = _dispatch_analysis(batch, cfg, mesh)
+        in_flight.append((entries, L, fin))
+        while len(in_flight) > max_in_flight:
+            finalize_oldest()
 
-                feats = np.asarray(analyze_sharded(batch, mesh, cfg))
-            else:
-                feats = analyze_features(batch, cfg)
+    def finalize_oldest() -> None:
+        nonlocal done
+        entries, L, fin = in_flight.pop(0)
+        with timer.stage("device_finalize"):
+            feats = fin()
         for (i, d), row in zip(entries, feats):
             features[i] = row
             ok[i] = True
@@ -174,9 +218,11 @@ def analyze_library(
             L = _bucket_length(decoded.n_samples, cfg.pad_multiple)
             buckets.setdefault(L, []).append((j, decoded))
             if len(buckets[L]) == batch_size:
-                run_bucket(L, buckets.pop(L))
+                dispatch_bucket(L, buckets.pop(L))
         for L in sorted(buckets):
-            run_bucket(L, buckets.pop(L))
+            dispatch_bucket(L, buckets.pop(L))
+        while in_flight:
+            finalize_oldest()
 
     stats = timer.report()
     stats["errors"] = len(errors)

@@ -53,7 +53,7 @@ def test_analyze_library_store_resume(fixture_dir, tmp_path):
     store2 = FeatureStore(str(tmp_path / "store"))  # fresh load from disk
     r2 = analyze_library(files, cfg=CFG, batch_size=2, store=store2)
     assert r2.ok.all()
-    assert r2.stats.get("device_analyze", {"count": 0})["count"] == 0
+    assert r2.stats.get("device_dispatch", {"count": 0})["count"] == 0
     np.testing.assert_allclose(r1.features, r2.features, atol=0)
 
     # A renamed copy keeps its cached features (content fingerprinting).
@@ -61,7 +61,7 @@ def test_analyze_library_store_resume(fixture_dir, tmp_path):
     shutil.copy(src, renamed)
     r3 = analyze_library([str(renamed)], cfg=CFG, batch_size=2, store=store2)
     assert r3.ok.all()
-    assert r3.stats.get("device_analyze", {"count": 0})["count"] == 0
+    assert r3.stats.get("device_dispatch", {"count": 0})["count"] == 0
     np.testing.assert_allclose(r3.features[0], r1.features[0], atol=0)
 
 
