@@ -26,11 +26,6 @@ cmake -S /root/reference -B build -DCMAKE_BUILD_TYPE=Release \
       -DCMAKE_C_FLAGS="-O2" >/dev/null
 make -C build -j"$(nproc)" bliss test_analyze test_decode >/dev/null
 
-# reference tests assume cwd with ../audio
-ln -sfn /root/reference/audio audio_link
-mkdir -p run && ln -sfn /root/reference/audio audio >/dev/null 2>&1 || true
-(cd build && ln -sfn /root/reference/audio ../audio 2>/dev/null || true)
-
 gcc -O2 -o build/bench_ref bench_ref.c -Ibuild -I/root/reference/include \
     -Lbuild -lbliss -lm
 echo "baseline build OK"
