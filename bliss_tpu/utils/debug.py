@@ -17,7 +17,7 @@ import numpy as np
 @contextlib.contextmanager
 def nan_debugging():
     """Raise on any NaN produced inside jitted code (jax_debug_nans)."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", True)
     try:
         yield

@@ -89,3 +89,34 @@ def test_interleaved_frame_view(decoded_song):
     fr = decoded_song.as_frames()
     assert fr.shape == (decoded_song.n_samples // 2, 2)
     assert np.array_equal(fr.reshape(-1), decoded_song.samples)
+
+
+def test_decode_wav_resample_path(tmp_path):
+    """Generated 44.1 kHz mono WAV exercises the full canonicalization:
+    rate resample + mono->stereo upmix + s16 passthrough."""
+    import wave
+
+    sr = 44100
+    t = np.arange(sr * 2)
+    tone = (10000 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+    p = tmp_path / "tone.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+
+    d = decode(str(p))
+    assert d.sample_rate == 22050
+    assert d.channels == 2
+    assert d.resampled == 1
+    # ~2 seconds at the target rate, stereo interleaved
+    assert abs(d.n_samples - 2 * 22050 * 2) < 4 * 22050 * 0.01
+    fr = d.as_frames()
+    # mono upmix: both channels identical
+    assert np.array_equal(fr[:, 0], fr[:, 1])
+    # the 440 Hz tone survives: dominant bin of an FFT near 440
+    seg = fr[2048 : 2048 + 8192, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak_hz = np.argmax(spec) * 22050 / len(seg)
+    assert abs(peak_hz - 440) < 5

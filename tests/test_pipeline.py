@@ -86,3 +86,19 @@ def test_store_flush_and_compact(tmp_path):
     assert len(reloaded) == 5
     np.testing.assert_array_equal(reloaded.get("key3"), np.arange(4) + 3)
     assert reloaded.metadata("key3")["filename"] == "f3"
+
+
+def test_analyze_library_with_mesh(fixture_dir):
+    from bliss_tpu.parallel import analysis_mesh
+
+    files = [
+        os.path.join(fixture_dir, "song.flac"),
+        os.path.join(fixture_dir, "song_s32.flac"),
+        os.path.join(fixture_dir, "song_s32_mono.flac"),
+    ]
+    mesh = analysis_mesh(4, 2)
+    cfg = AnalysisConfig(dtype="float64")
+    r_mesh = analyze_library(files, cfg=cfg, batch_size=2, mesh=mesh)
+    r_single = analyze_library(files, cfg=cfg, batch_size=2)
+    assert r_mesh.ok.all()
+    np.testing.assert_allclose(r_mesh.features, r_single.features, atol=2e-6)
