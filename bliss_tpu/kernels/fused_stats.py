@@ -61,11 +61,11 @@ def _kernel(
     x_ref,     # VMEM [1, NBLK, 256] int16: this chunk as hop-sized rows
     halo_ref,  # VMEM [1, 1, 16, 128] int16: last 2048 samples before chunk
     warm_ref,  # VMEM [16, 16] float32: FIR warm-up correction matrix
+    conv_ref,  # VMEM [BLK+16, BLK] float32: banded FIR-as-matmul matrix
     out_ref,   # VMEM out [1, 1, 8, NBLK] float32: rows per ROWS
     *,
     cheb,      # tuple of float coeffs (compile-time)
     halfwidth,
-    fir,       # tuple of 17 float taps
     chunk,     # samples per grid step
 ):
     NBLK = chunk // BLK
@@ -108,9 +108,13 @@ def _kernel(
     )
     ext = jnp.concatenate([prev_tail, xn], axis=1)  # [NBLK, K + BLK]
 
-    z = jnp.zeros_like(xn)
-    for m, cm in enumerate(fir):
-        z = z + cm * ext[:, K - m : K - m + BLK]
+    # The 17-tap causal conv as ONE banded matmul on the MXU (measured ~2x
+    # faster than 17 unaligned vector shifts on the VPU).
+    z = jnp.dot(
+        ext, conv_ref[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     alt = jnp.where(col % 2 == 0, 1.0, -1.0)  # (-1)^t within a block
     s1 = jnp.sum(z, axis=1)
@@ -194,7 +198,6 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
         _kernel,
         cheb=tuple(float(v) for v in c_pos),
         halfwidth=float(A),
-        fir=tuple(float(v) for v in C.FIR_BANDPASS),
         chunk=CHUNK,
     )
     out = pl.pallas_call(
@@ -216,6 +219,9 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BLK + K, BLK), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 8, NBLK), lambda i, j: (i, j, 0, 0),
@@ -223,7 +229,14 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
         ),
         out_shape=jax.ShapeDtypeStruct((B, NC, 8, NBLK), jnp.float32),
         interpret=interpret,
-    )(nse, ab, x.reshape(B, NC * NBLK, BLK), halo, jnp.asarray(warm, jnp.float32))
+    )(
+        nse,
+        ab,
+        x.reshape(B, NC * NBLK, BLK),
+        halo,
+        jnp.asarray(warm, jnp.float32),
+        jnp.asarray(tables.conv_band_matrix(), jnp.float32),
+    )
 
     s1 = out[:, :, 0, :].reshape(B, NBF)
     s2 = out[:, :, 1, :].reshape(B, NBF)

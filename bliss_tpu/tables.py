@@ -167,6 +167,23 @@ def fir_warmup_correction(nb_bands: int = 1, taps: int = 17) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def conv_band_matrix(taps: int = 17, blk: int = 256) -> np.ndarray:
+    """[blk + taps - 1, blk] banded matrix realizing the causal FIR on a
+    halo-extended block: z = ext @ T with ext = [K-sample history | block].
+    Lets the fused Pallas kernel run the convolution as ONE MXU matmul
+    instead of taps unaligned vector shifts."""
+    from bliss_tpu import constants as C
+
+    c = C.FIR_BANDPASS
+    K = taps - 1
+    T = np.zeros((blk + K, blk))
+    for t in range(blk):
+        for m in range(taps):
+            T[K + t - m, t] = c[m]
+    return T
+
+
+@functools.lru_cache(maxsize=None)
 def parseval_alt_sign() -> np.ndarray:
     """(-1)^n vector for the Nyquist-bin term of the Parseval identity."""
     s = np.ones(C.WINDOW_SIZE)
