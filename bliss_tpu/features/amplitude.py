@@ -75,14 +75,15 @@ def _integral_table(s, seg, start, end, cfg):
 
 
 def _integral_poly(s, seg, start, end, cfg):
-    """Gather-free weighted sum: w[s] = T(999-s) - T(-1002-s) with the CDF T
-    evaluated by a Chebyshev fit (tables.amplitude_cdf_poly). TPU gathers
-    serialize per element; this keeps the reduction entirely on the VPU
-    (~2.5e-7 agreement with the exact table).
+    """Gather-free weighted sum: w[s] = T(1000 - |s+1|) with the smoothing
+    kernel's CDF T evaluated by a Chebyshev fit (tables.amplitude_cdf_poly).
+    TPU gathers serialize per element; this keeps the reduction entirely on
+    the VPU (~2.5e-7 agreement with the exact table).
 
-    The iterated smoothing kernel is symmetric, so its CDF satisfies
-    T(-m-1) = 1 - T(m): only the positive half is fit, and negative
-    arguments fold through that identity — one Clenshaw per CDF evaluation.
+    Two exact symmetries collapse the evaluation to one Clenshaw per sample:
+    the weight is symmetric about s = -1 (so the difference of two CDF
+    terms reduces to the single term above), and the CDF satisfies
+    T(-m-1) = 1 - T(m) (so only its positive half is fit).
     """
     dtype = cfg.jnp_dtype
     A, _, c_pos = tables.amplitude_cdf_poly()
@@ -104,16 +105,9 @@ def _integral_poly(s, seg, start, end, cfg):
         return jnp.where(neg, 1.0 - val, val)
 
     sf = s.astype(dtype)
-    # The two CDF arguments differ by 2001 > 2*A, so at most one is in the
-    # transition band — one Clenshaw evaluation covers both.
-    m1 = 999.0 - sf
-    m2 = -1002.0 - sf
-    act1 = jnp.abs(m1) < A
-    Ta = T(jnp.where(act1, m1, m2))
-    sat1 = jnp.where(m1 >= A, 1.0, 0.0)
-    sat2 = jnp.where(m2 >= A, 1.0, 0.0)
-    T2 = jnp.where(jnp.abs(m2) < A, Ta, sat2)
-    w = jnp.where(act1, Ta - sat2, sat1 - T2)
+    # The weight is symmetric about s = -1 (symmetric smoothing kernel,
+    # integral window centered there): w(s) = T(1000 - |s+1|) exactly.
+    w = T(1000.0 - jnp.abs(sf + 1.0))
     dot = jnp.sum(w * seg.astype(dtype), axis=1)
     span = (end - start).astype(dtype)
     return dot * (jnp.asarray(100.0, dtype) / span)

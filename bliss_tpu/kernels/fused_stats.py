@@ -77,17 +77,10 @@ def _kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 1)
     gidx = j * chunk + row * BLK + col
     seg = (gidx >= nse_ref[0, 0, 0]) & (gidx <= nse_ref[0, 0, 1])
-    # w(s) = T(999-s) - T(-1002-s); the two arguments differ by 2001 > 2*A,
-    # so at most ONE of them lies in the CDF's transition band — a single
-    # Clenshaw evaluation covers both.
-    m1 = 999.0 - xb
-    m2 = -1002.0 - xb
-    act1 = jnp.abs(m1) < halfwidth
-    Ta = _cheb_T(jnp.where(act1, m1, m2), cheb, halfwidth)
-    sat1 = jnp.where(m1 >= halfwidth, 1.0, 0.0)
-    sat2 = jnp.where(m2 >= halfwidth, 1.0, 0.0)
-    T2 = jnp.where(jnp.abs(m2) < halfwidth, Ta, sat2)
-    w = jnp.where(act1, Ta - sat2, sat1 - T2)
+    # The weight is symmetric about s = -1 (the smoothing kernel is
+    # symmetric and the integral window is centered there), so
+    # w(s) = T(1000 - |s+1|) exactly — ONE CDF evaluation per sample.
+    w = _cheb_T(1000.0 - jnp.abs(xb + 1.0), cheb, halfwidth)
     amp_val = jnp.sum(jnp.where(seg, w, 0.0))
 
     # ---- tempo: normalize + halo-extend each hop-block row -----------------
