@@ -100,3 +100,28 @@ def test_cli_version(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "bliss-tpu" in out
+
+
+def test_cli_detect_gapless_positive(tmp_path, capsys):
+    """Two crafted WAVs whose boundary samples match -> 'Gapless!'."""
+    import wave
+
+    import numpy as np
+
+    def write_wav(path, data):
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(22050)
+            w.writeframes(np.asarray(data, np.int16).tobytes())
+
+    a = np.full((22050, 2), 1200, np.int16)
+    b = np.full((22050, 2), 1205, np.int16)  # diff 5/32767 << 0.01
+    write_wav(tmp_path / "a.wav", a)
+    write_wav(tmp_path / "b.wav", b)
+    rc = main([
+        "detect-gapless", str(tmp_path / "a.wav"), str(tmp_path / "b.wav"),
+    ])
+    out = capsys.readouterr().out
+    assert "Gapless!" in out
+    assert rc == 1  # the reference exits 1 on gapless detection
