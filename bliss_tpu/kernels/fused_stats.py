@@ -13,11 +13,12 @@ The frequency analyzer stays on the MXU (DFT matmul) outside this kernel.
 Single-band (parity) tempo front-end only; the extended multi-band mode
 uses the XLA path.
 
-Layout: the PCM is viewed as [B, NC, SUB, 128] (SUB*128 = CHUNK samples per
-grid step) to satisfy the TPU (sublane, lane) tiling rules; inside the
-kernel each chunk is a [NBLK, 256] matrix of hop-sized blocks, extended by a
-16-column halo from the previous block row (cross-chunk halo rows arrive as
-a separate input).
+Layout: the PCM is viewed as [B, NC*NBLK, 256] so each grid step reads a
+[NBLK, 256] matrix of hop-sized blocks directly (aligned (sublane, lane)
+tiles, no in-kernel relayout). Each block row is extended by a 16-column
+history from the previous row (pltpu.roll); the cross-chunk history arrives
+as a separate halo input. The 17-tap convolution itself runs as one banded
+matmul on the MXU (tables.conv_band_matrix).
 """
 
 from __future__ import annotations
