@@ -120,3 +120,21 @@ def test_decode_wav_resample_path(tmp_path):
     spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
     peak_hz = np.argmax(spec) * 22050 / len(seg)
     assert abs(peak_hz - 440) < 5
+
+
+def test_flac_writer_roundtrip(tmp_path):
+    """Our verbatim FLAC writer roundtrips bit-exactly through libav."""
+    from bliss_tpu.io.flac_writer import write_flac
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(-32768, 32768, size=(22050 * 2 + 777, 2)).astype(
+        np.int16
+    )
+    p = tmp_path / "rt.flac"
+    write_flac(str(p), frames, 22050)
+    d = decode(str(p))
+    assert d.sample_rate == 22050 and d.channels == 2 and d.resampled == 0
+    got = d.as_frames()
+    pad = (-frames.shape[0]) % 4096
+    exp = np.vstack([frames, np.zeros((pad, 2), np.int16)])
+    assert np.array_equal(got, exp)
