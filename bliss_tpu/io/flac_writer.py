@@ -57,12 +57,17 @@ def _utf8_coded_number(n: int) -> bytes:
 
 
 def write_flac(
-    path: str, frames: np.ndarray, sample_rate: int = 22050
+    path: str,
+    frames: np.ndarray,
+    sample_rate: int = 22050,
+    tags: dict | None = None,
 ) -> None:
     """Write [n_frames, channels] int16 PCM as a verbatim FLAC file.
 
     The sample count is padded with zeros to a whole number of 4096-sample
-    blocks (so STREAMINFO's fixed min/max blocksize holds exactly).
+    blocks (so STREAMINFO's fixed min/max blocksize holds exactly). ``tags``
+    (e.g. {"ARTIST": ..., "TITLE": ...}) are written as a VORBIS_COMMENT
+    metadata block.
     """
     frames = np.asarray(frames, np.int16)
     if frames.ndim == 1:
@@ -83,7 +88,18 @@ def write_flac(
     packed = (sample_rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n
     si += packed.to_bytes(8, "big")
     si += md5
-    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    last_flag = 0x80 if not tags else 0x00
+    out += bytes([last_flag]) + len(si).to_bytes(3, "big") + si
+
+    if tags:
+        vc = bytearray()
+        vendor = b"bliss-tpu flac_writer"
+        vc += struct.pack("<I", len(vendor)) + vendor
+        entries = [f"{k}={v}".encode() for k, v in tags.items()]
+        vc += struct.pack("<I", len(entries))
+        for e in entries:
+            vc += struct.pack("<I", len(e)) + e
+        out += bytes([0x80 | 0x04]) + len(vc).to_bytes(3, "big") + vc
 
     # Explicit sample-rate code so frames are self-describing (decoders fed
     # through codec contexts without STREAMINFO extradata - like the

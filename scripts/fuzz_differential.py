@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Randomized differential fuzzing: reference C library vs bliss-tpu.
+
+Generates N random synthetic songs (random mixtures of tones, noise bursts,
+beat trains, sweeps, silence gaps), writes them as FLAC, analyzes each with
+the reference binary (baseline/build/analyze) and with bliss-tpu's float64
+parity mode, and reports the deviation distribution per feature.
+
+Run: python scripts/fuzz_differential.py [N]
+"""
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import re
+import subprocess
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILD = os.path.join(REPO, "baseline", "build")
+
+
+def random_song(rng, seconds):
+    sr = 22050
+    n = sr * seconds
+    t = np.arange(n)
+    sig = np.zeros(n)
+    for _ in range(rng.randint(1, 5)):
+        f = rng.uniform(60, 8000)
+        amp = rng.uniform(1000, 12000)
+        sig += amp * np.sin(2 * np.pi * f * t / sr + rng.uniform(0, 6.28))
+    if rng.rand() < 0.7:  # beat train
+        bpm = rng.uniform(60, 180)
+        phase = (t * bpm / 60 / sr) % 1.0
+        sig *= 0.4 + 0.6 * (phase < rng.uniform(0.2, 0.6))
+    if rng.rand() < 0.8:  # noise bed
+        sig += rng.randn(n) * rng.uniform(200, 4000)
+    if rng.rand() < 0.5:  # silence gap
+        a = rng.randint(0, n // 2)
+        sig[a : a + rng.randint(sr // 10, sr)] = 0
+    sig *= np.clip(t / (0.02 * sr), 0, 1) * np.clip((n - t) / (0.02 * sr), 0, 1)
+    left = np.clip(sig, -32767, 32767).astype(np.int16)
+    right = np.clip(sig * rng.uniform(0.5, 1.0), -32767, 32767).astype(np.int16)
+    return np.stack([left, right], axis=1)
+
+
+def main():
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    if not os.path.exists(os.path.join(BUILD, "analyze")):
+        subprocess.run(
+            ["bash", os.path.join(REPO, "baseline", "build_baseline.sh")],
+            check=True,
+        )
+        subprocess.run(["make", "-C", BUILD, "analyze"], check=True)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from bliss_tpu.config import AnalysisConfig
+    from bliss_tpu.features import PCMBatch, analyze_batch_jit
+    from bliss_tpu.io import decode
+    from bliss_tpu.io.flac_writer import write_flac
+
+    env = dict(
+        os.environ,
+        LD_LIBRARY_PATH=f"{BUILD}:{os.path.join(REPO, 'baseline', 'fftw_shim', 'lib')}",
+    )
+    cfg = AnalysisConfig.for_parity()
+    rng = np.random.RandomState(1234)
+    devs = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for i in range(n_cases):
+            frames = random_song(rng, int(rng.randint(3, 9)))
+            path = os.path.join(tmp, f"fuzz{i}.flac")
+            write_flac(path, frames, 22050)
+            out = subprocess.run(
+                [os.path.join(BUILD, "analyze"), path],
+                capture_output=True, text=True, env=env, timeout=300,
+            ).stdout
+            m = re.search(
+                r"Force vector: \(([-\d.]+), ([-\d.]+), ([-\d.]+), ([-\d.]+)\)",
+                out,
+            )
+            if not m:
+                print(f"case {i}: reference failed to analyze"); continue
+            ref = np.array([float(m.group(k)) for k in range(1, 5)])
+            d = decode(path)
+            batch = PCMBatch.from_arrays([np.asarray(d.samples)], [d.duration])
+            ours = np.asarray(analyze_batch_jit(batch, cfg))[0]
+            dev = np.abs(ours - ref)
+            devs.append(dev)
+            flag = " <-- DIVERGENT" if dev.max() > 1e-3 else ""
+            print(f"case {i:3d}: dev tempo={dev[0]:.2e} amp={dev[1]:.2e} "
+                  f"freq={dev[2]:.2e} atk={dev[3]:.2e}{flag}")
+    devs = np.array(devs)
+    print(f"\n{len(devs)} cases; max deviation per feature "
+          f"(tempo, amplitude, frequency, attack): {devs.max(axis=0)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -138,3 +138,38 @@ def test_flac_writer_roundtrip(tmp_path):
     pad = (-frames.shape[0]) % 4096
     exp = np.vstack([frames, np.zeros((pad, 2), np.int16)])
     assert np.array_equal(got, exp)
+
+
+def test_flac_writer_tags(tmp_path):
+    from bliss_tpu.io.flac_writer import write_flac
+
+    frames = np.zeros((8192, 2), np.int16)
+    frames[100:, 0] = 500
+    p = tmp_path / "tagged.flac"
+    write_flac(
+        str(p), frames, 22050,
+        tags={"ARTIST": "Unit Test", "TITLE": "Tagged", "ALBUM": "Cases",
+              "TRACKNUMBER": "7/12", "GENRE": "Synthetic"},
+    )
+    d = decode(str(p))
+    assert d.artist == "Unit Test"
+    assert d.title == "Tagged"
+    assert d.album == "Cases"
+    assert d.tracknumber == "7"  # truncated at '/', like the reference
+    assert d.genre == "Synthetic"
+
+
+def test_decode_tag_defaults(tmp_path):
+    from bliss_tpu.io.flac_writer import write_flac
+
+    frames = np.zeros((4096, 2), np.int16)
+    frames[10, 0] = 100
+    p = tmp_path / "untagged.flac"
+    write_flac(str(p), frames, 22050)
+    d = decode(str(p))
+    # reference defaults (src/decode.c:261-309)
+    assert d.artist == "<no artist>"
+    assert d.title == "<no title>"
+    assert d.album == "<no album>"
+    assert d.tracknumber == ""
+    assert d.genre == "<no genre>"
