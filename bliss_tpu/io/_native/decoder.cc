@@ -177,10 +177,13 @@ int bt_decode(const char* filename, bt_decoded* out) {
     return -1;
   }
 
-  // Canonicalization: anything that is not already s16 @ 22.05 kHz goes
-  // through swresample; stereo output is always requested.
-  bool needs_resample =
-      par->format != AV_SAMPLE_FMT_S16 || par->sample_rate != kTargetRate;
+  // Canonicalization: anything that is not already s16 stereo @ 22.05 kHz
+  // goes through swresample. (The reference skips the channel check, so a
+  // mono s16 22.05 kHz file passes through un-upmixed while still being
+  // reported as stereo — reference src/decode.c:314-318,193; fixed here.)
+  bool needs_resample = par->format != AV_SAMPLE_FMT_S16 ||
+                        par->sample_rate != kTargetRate ||
+                        par->ch_layout.nb_channels != kTargetChannels;
   SwrCtx swr;
   if (needs_resample) {
     AVChannelLayout out_layout = AV_CHANNEL_LAYOUT_STEREO;
@@ -211,11 +214,7 @@ int bt_decode(const char* filename, bt_decoded* out) {
   auto handle_frame = [&](const AVFrame* f) -> bool {
     if (needs_resample)
       return convert_and_append(st, swr.p, f, par->sample_rate);
-    // Passthrough: already interleaved s16 at target rate. Mono passthrough
-    // cannot happen here for channels != 2 unless rate also matches; the
-    // reference has the same passthrough shape (mono s16 @22.05k stays mono
-    // in its buffer; we mirror by duplicating to stereo only via swr, which
-    // is triggered by fmt/rate mismatch identically).
+    // Passthrough: already interleaved s16 stereo at the target rate.
     const int16_t* data = reinterpret_cast<const int16_t*>(f->extended_data[0]);
     st.samples.insert(st.samples.end(), data,
                       data + static_cast<size_t>(f->nb_samples) *

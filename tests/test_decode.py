@@ -173,3 +173,22 @@ def test_decode_tag_defaults(tmp_path):
     assert d.album == "<no album>"
     assert d.tracknumber == ""
     assert d.genre == "<no genre>"
+
+
+def test_mono_s16_native_rate_upmixes(tmp_path):
+    """Mono s16 @ 22.05 kHz must still come out stereo. (The reference's
+    decode skips the channel check when format+rate already match, leaving a
+    mono buffer labeled stereo — reference src/decode.c:314-318,193; we
+    resample/upmix instead.)"""
+    from bliss_tpu.io.flac_writer import write_flac
+
+    rng = np.random.RandomState(6)
+    mono = rng.randint(-20000, 20000, size=(12288, 1)).astype(np.int16)
+    p = tmp_path / "mono16.flac"
+    write_flac(str(p), mono, 22050)
+    d = decode(str(p))
+    assert d.channels == 2
+    assert d.resampled == 1
+    fr = d.as_frames()
+    assert fr.shape[0] == mono.shape[0]
+    assert np.array_equal(fr[:, 0], fr[:, 1])
