@@ -35,7 +35,6 @@ from bliss_tpu import tables
 from bliss_tpu.config import AnalysisConfig, DEFAULT
 from bliss_tpu.dsp.intops import c_div
 from bliss_tpu.features.types import PCMBatch
-from bliss_tpu.features.tempo import _fir_per_window, _window_energy
 from bliss_tpu.features import tempo as tempo_mod
 
 
@@ -187,25 +186,58 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         )
         norm = jnp.where(valid, norm, 0.0)
 
-        # Ring halo: first `hop` columns of the right neighbor.
+        # Blocked Parseval energies per shard (see features/tempo.py and
+        # docs/DESIGN.md §2): one convolution pass + per-block partial sums.
+        # Two ring exchanges replace the overlapped-window framing:
+        #  - conv history: the LAST 16 normalized samples of the left
+        #    neighbor (zero for the first shard, matching zero padding);
+        #  - the right neighbor's first-block partial sums, needed by this
+        #    shard's last window (windows span two hop-blocks).
         hop = C.TEMPO_HOP
-        halo = jax.lax.ppermute(
-            norm[:, :hop],
-            "seq",
-            [(i, (i - 1) % n_seq) for i in range(n_seq)],
-        )
-        ext = jnp.concatenate([norm, halo], axis=1)  # [Bl, Ls + hop]
+        K = C.NB_FIR_COEFFS - 1
+        fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+        bwd = [(i, (i - 1) % n_seq) for i in range(n_seq)]
+        halo_prev = jax.lax.ppermute(norm[:, -K:], "seq", fwd)
+        halo_prev = jnp.where(seq_ix == 0, jnp.zeros_like(halo_prev), halo_prev)
+        xp = jnp.concatenate([halo_prev, norm], axis=1)  # [Bl, Ls + K]
 
-        even = norm.reshape(Bl, Ls // W, W)
-        odd = ext[:, hop : hop + Ls].reshape(Bl, Ls // W, W)
-        frames = jnp.stack([even, odd], axis=2).reshape(Bl, Ls // hop, W)
-        y = _fir_per_window(frames, dtype)
+        coeffs = tables.bandpass_filterbank(1, C.NB_FIR_COEFFS)[0]
+        z = jnp.zeros_like(norm)
+        for m in range(C.NB_FIR_COEFFS):
+            z = z + jnp.asarray(coeffs[m], dtype) * xp[:, K - m : K - m + Ls]
+
+        NBF_l = Ls // hop
+        alt = jnp.asarray(tables.parseval_alt_sign()[:hop], dtype)
+        zb = z.reshape(Bl, NBF_l, hop)
+        S1 = jnp.sum(zb, axis=-1)
+        S2 = jnp.sum(zb * zb, axis=-1)
+        SA = jnp.sum(zb * alt, axis=-1)
+
+        hist = xp[:, :Ls].reshape(Bl, NBF_l, hop)[:, :, :K]
+        zh = zb[..., :K]
+        Mw = jnp.asarray(tables.fir_warmup_correction()[0], dtype)
+        delta = jnp.einsum("bwk,jk->bwj", hist, Mw)
+        d1 = jnp.sum(delta, axis=-1)
+        d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
+        da = jnp.sum(delta * alt[:K], axis=-1)
+
+        # right neighbor's first-block sums complete this shard's last window
+        S_first = jnp.stack([S1[:, 0], S2[:, 0], SA[:, 0]], axis=-1)
+        S_next = jax.lax.ppermute(S_first, "seq", bwd)
+        S1n = jnp.concatenate([S1[:, 1:], S_next[:, 0:1]], axis=1)
+        S2n = jnp.concatenate([S2[:, 1:], S_next[:, 1:2]], axis=1)
+        SAn = jnp.concatenate([SA[:, 1:], S_next[:, 2:3]], axis=1)
+
+        sum_y2 = S2 + S2n + d2
+        sum_y = S1 + S1n + d1
+        sum_a = SA + SAn + da
+        energy = (W / 2) * sum_y2 + (sum_y * sum_y + sum_a * sum_a) / 2.0
 
         trunc_n = n - n % W
         n_windows = -((-(trunc_n - W)) // hop)
-        gwin = seq_ix * (Ls // hop) + jnp.arange(Ls // hop, dtype=jnp.int32)
+        gwin = seq_ix * NBF_l + jnp.arange(NBF_l, dtype=jnp.int32)
         wmask = gwin[None, :] < n_windows[:, None]
-        energy = _window_energy(y, cfg) * wmask.astype(dtype)
+        energy = energy * wmask.astype(dtype)
 
         fa = jax.lax.all_gather(energy, "seq", axis=1, tiled=True)  # [Bl, L//hop]
 
