@@ -36,7 +36,10 @@ class AnalysisConfig:
     # in the FIR output) and computes blockwise from the global convolution
     # with 16-tap warm-up corrections (no overlapped-window tensor);
     # "parseval_framed" is the explicit-window variant (cross-check);
-    # "fft" computes the literal per-window spectrum sum.
+    # "fft" computes the literal per-window spectrum sum; "fft_strict"
+    # additionally replicates the reference's float32 accumulation order
+    # (beat counts then match the reference bit-for-bit even on
+    # epsilon-marginal peaks).
     tempo_energy_mode: str = "parseval"
 
     # Butterworth IIR: "blocked" uses the dense block recurrence (MXU,
@@ -81,6 +84,7 @@ class AnalysisConfig:
         return AnalysisConfig(
             dtype="float64",
             amplitude_mode="iterative",
+            tempo_energy_mode="fft_strict",
             strict_accumulation=True,
         )
 

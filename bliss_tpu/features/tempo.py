@@ -25,6 +25,7 @@ TPU-first realizations:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from bliss_tpu import constants as C
@@ -259,6 +260,22 @@ def _window_energy(y: jnp.ndarray, cfg: AnalysisConfig) -> jnp.ndarray:
         dc = jnp.sum(y, axis=-1)
         nyq = jnp.sum(y * alt, axis=-1)
         return (C.WINDOW_SIZE / 2) * total + (dc * dc + nyq * nyq) / 2.0
+    if cfg.tempo_energy_mode == "fft_strict":
+        # Replicates the reference's accumulator exactly: a float32 running
+        # sum of float64 bin powers, rounded to float32 after every add
+        # (`float sum_fft += double`, reference src/tempo_atk_sort.c:142-149).
+        # This is the one place the golden values depend on accumulation
+        # order; with it, beat counts match the reference bit-for-bit even
+        # on epsilon-marginal peaks.
+        X = jnp.fft.rfft(y.astype(jnp.float64), axis=-1)
+        abs2 = jnp.real(X) ** 2 + jnp.imag(X) ** 2  # [..., W//2+1] float64
+
+        def add(acc, col):
+            return (acc.astype(jnp.float64) + col).astype(jnp.float32), None
+
+        acc0 = jnp.zeros(abs2.shape[:-1], jnp.float32)
+        total, _ = jax.lax.scan(add, acc0, jnp.moveaxis(abs2, -1, 0))
+        return total.astype(dtype)
     if cfg.tempo_energy_mode != "fft":
         raise ValueError(f"unknown tempo_energy_mode {cfg.tempo_energy_mode}")
     X = jnp.fft.rfft(y, axis=-1)

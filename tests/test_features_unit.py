@@ -79,7 +79,7 @@ def test_envelope_vs_oracle(signals):
 
 def test_envelope_parseval_vs_fft(signals):
     batch = _batch(signals)
-    pv = envelope_scores(batch, PARITY)  # blocked parseval (default)
+    pv = envelope_scores(batch, AnalysisConfig(dtype="float64"))  # blocked
     fr = envelope_scores(
         batch,
         AnalysisConfig(dtype="float64", tempo_energy_mode="parseval_framed"),
@@ -90,11 +90,17 @@ def test_envelope_parseval_vs_fft(signals):
     for other in (fr, ff):
         np.testing.assert_allclose(np.asarray(pv[0]), np.asarray(other[0]), atol=1e-9)
         np.testing.assert_allclose(np.asarray(pv[1]), np.asarray(other[1]), atol=1e-9)
+    # fft_strict (float32 accumulator replay) agrees within float32 noise
+    st = envelope_scores(
+        batch, AnalysisConfig(dtype="float64", tempo_energy_mode="fft_strict")
+    )
+    np.testing.assert_allclose(np.asarray(pv[0]), np.asarray(st[0]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pv[1]), np.asarray(st[1]), atol=1e-3)
 
 
 def test_envelope_blocked_iir_vs_scan(signals):
     batch = _batch(signals)
-    bl = envelope_scores(batch, PARITY)
+    bl = envelope_scores(batch, AnalysisConfig(dtype="float64"))
     sc = envelope_scores(batch, AnalysisConfig(dtype="float64", iir_mode="scan"))
     np.testing.assert_allclose(np.asarray(bl[0]), np.asarray(sc[0]), atol=1e-9)
     np.testing.assert_allclose(np.asarray(bl[1]), np.asarray(sc[1]), atol=1e-9)
