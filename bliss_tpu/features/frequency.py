@@ -71,14 +71,28 @@ def _power_spectrum(x: jnp.ndarray, cfg: AnalysisConfig) -> jnp.ndarray:
     dtype = cfg.jnp_dtype
     if cfg.spectrum_mode == "fft":
         X = jnp.fft.rfft(x, axis=-1)
-        raw = jnp.real(X) ** 2 + jnp.imag(X) ** 2
-        return jnp.sum(raw.astype(dtype), axis=1)
-    if cfg.spectrum_mode != "matmul":
+        re = jnp.real(X)
+        im = jnp.imag(X)
+    elif cfg.spectrum_mode == "matmul":
+        dre, dim = tables.rdft_matrices()
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
+        im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
+    else:
         raise ValueError(f"unknown spectrum_mode {cfg.spectrum_mode}")
-    dre, dim = tables.rdft_matrices()
-    dre = jnp.asarray(dre, dtype)
-    dim = jnp.asarray(dim, dtype)
-    hp = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(x, dre, precision=hp)
-    im = jnp.matmul(x, dim, precision=hp)
-    return jnp.sum(re * re + im * im, axis=1)
+    if cfg.strict_accumulation:
+        # Replicate the reference's float32 per-frame accumulation
+        # (`power_spectrum[d] += re*re + im*im` in float,
+        # reference src/frequency_sort.c:86-93): float32 products and a
+        # float32 running sum over frames, rounding after every add.
+        re32 = re.astype(jnp.float32)
+        im32 = im.astype(jnp.float32)
+        raw = re32 * re32 + im32 * im32  # [B, F, bins] float32
+
+        def add(acc, frame):
+            return acc + frame, None
+
+        acc0 = jnp.zeros((raw.shape[0], raw.shape[2]), jnp.float32)
+        total, _ = jax.lax.scan(add, acc0, jnp.moveaxis(raw, 1, 0))
+        return total.astype(dtype)
+    return jnp.sum((re * re + im * im).astype(dtype), axis=1)
