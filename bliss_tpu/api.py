@@ -205,6 +205,20 @@ class Song(Mapping):
         self.force_vector.frequency = v
         return v
 
+    def extended_analysis(
+        self, cfg: AnalysisConfig | None = None
+    ) -> dict[str, float]:
+        """ROADMAP feature set (zero-crossing rate, loudness, spectral
+        centroid/rolloff/flatness, MFCC mean+std) as a name->value dict."""
+        from bliss_tpu.features import (
+            EXTENDED_FEATURE_NAMES,
+            extended_features_jit,
+        )
+
+        cfg = cfg or default_config()
+        row = np.asarray(extended_features_jit(self._batch(cfg), cfg))[0]
+        return dict(zip(EXTENDED_FEATURE_NAMES, map(float, row)))
+
     def envelope_analysis(self, cfg: AnalysisConfig | None = None) -> tuple[float, float]:
         from bliss_tpu.features import envelope_scores
 

@@ -72,6 +72,9 @@ def cmd_analyze(args) -> int:
         print(f"Album: {s.album}")
         print(f"Track number: {s.tracknumber}")
         print(f"Genre: {s.genre}")
+        if args.extended:
+            for name, value in s.extended_analysis().items():
+                print(f"{name}: {value:f}")
     return status
 
 
@@ -230,6 +233,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     a = sub.add_parser("analyze", help="analyze songs and print reports")
     a.add_argument("files", nargs="+")
+    a.add_argument(
+        "--extended", action="store_true",
+        help="also print the extended (ROADMAP) feature set",
+    )
     a.set_defaults(fn=cmd_analyze)
 
     d = sub.add_parser("distance", help="distance + cosine similarity of two songs")

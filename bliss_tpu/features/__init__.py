@@ -6,6 +6,11 @@ from bliss_tpu.features.tempo import (
     envelope_finish_host,
     envelope_scores,
 )
+from bliss_tpu.features.extended import (
+    EXTENDED_FEATURE_NAMES,
+    extended_features,
+    extended_features_jit,
+)
 from bliss_tpu.features.analyze import (
     analyze_batch,
     analyze_batch_hybrid,
@@ -24,4 +29,7 @@ __all__ = [
     "analyze_batch_hybrid",
     "analyze_batch_jit",
     "force_and_class",
+    "EXTENDED_FEATURE_NAMES",
+    "extended_features",
+    "extended_features_jit",
 ]
