@@ -175,17 +175,28 @@ def cmd_scan(args) -> int:
         print(f"\r[{pct:5.1f}%] {done}/{total} {msg[:60]:60s}", end="", file=sys.stderr)
 
     result = analyze_library(
-        files, store=store, batch_size=args.batch_size, progress=progress
+        files, store=store, batch_size=args.batch_size, progress=progress,
+        extended=args.extended,
     )
     print("", file=sys.stderr)
+    from bliss_tpu.features import EXTENDED_FEATURE_NAMES
+
     with open(args.output, "w") as f:
-        f.write("filename;tempo;amplitude;frequency;attack;force\n")
+        header = "filename;tempo;amplitude;frequency;attack;force"
+        if args.extended:
+            header += ";" + ";".join(EXTENDED_FEATURE_NAMES)
+        f.write(header + "\n")
         force = result.force()
         for i, name in enumerate(files):
             if not result.ok[i]:
                 continue
             t, a, fr, k = result.features[i]
-            f.write(f"{name};{t:f};{a:f};{fr:f};{k:f};{force[i]:f}\n")
+            line = f"{name};{t:f};{a:f};{fr:f};{k:f};{force[i]:f}"
+            if args.extended:
+                line += ";" + ";".join(
+                    f"{v:f}" for v in result.extended[i]
+                )
+            f.write(line + "\n")
     bad = [f for f in result.errors]
     print(
         f"scanned {int(result.ok.sum())}/{len(files)} songs -> {args.output}"
@@ -201,9 +212,17 @@ def cmd_radio(args) -> int:
 
     files = _collect_audio_files(args.paths)
     store = FeatureStore(args.store) if args.store else None
-    result = analyze_library(files, store=store, batch_size=args.batch_size)
+    result = analyze_library(
+        files, store=store, batch_size=args.batch_size,
+        extended=args.extended,
+    )
     valid = [i for i in range(len(files)) if result.ok[i]]
     feats = result.features[valid]
+    if args.extended:
+        # z-score the richer vectors so every feature contributes equally
+        full = np.concatenate([feats, result.extended[valid]], axis=1)
+        mu, sd = full.mean(0), full.std(0)
+        feats = (full - mu) / np.maximum(sd, 1e-6)
     _, assign = kmeans(feats, k=args.clusters, iters=50)
     assign = np.asarray(assign)
     for c in range(args.clusters):
@@ -271,6 +290,11 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("-o", "--output", default="features.csv")
     sc.add_argument("--store", default=None, help="feature store dir (resume)")
     sc.add_argument("--batch-size", type=int, default=16)
+    sc.add_argument(
+        "--extended", action="store_true",
+        help="also compute the ROADMAP feature set (zcr, loudness, spectral"
+        " moments, MFCC stats)",
+    )
     sc.set_defaults(fn=cmd_scan)
 
     r = sub.add_parser("radio", help="k-means auto-playlists over a library")
@@ -279,6 +303,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--output-dir", default=".")
     r.add_argument("--store", default=None)
     r.add_argument("--batch-size", type=int, default=16)
+    r.add_argument(
+        "--extended", action="store_true",
+        help="cluster on the z-scored extended feature vectors",
+    )
     r.set_defaults(fn=cmd_radio)
 
     v = sub.add_parser("version", help="print versions")

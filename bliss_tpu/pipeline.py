@@ -43,20 +43,34 @@ class ScanResult:
     ok: np.ndarray  # [N] bool
     errors: dict[str, str]
     stats: dict
+    extended: np.ndarray | None = None  # [N, len(EXTENDED_FEATURE_NAMES)]
 
     def force(self) -> np.ndarray:
         t, a, f, k = (self.features[:, i] for i in range(4))
         return np.maximum(t, 0) + a + f + np.maximum(k, 0)
 
 
-def _dispatch_analysis(batch: PCMBatch, cfg, mesh):
+def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
     """Start device analysis for a batch; returns a callable that blocks and
-    yields the [B, 4] float32 features (the async half of the pipeline)."""
+    yields the [B, 4(+ext)] float32 features (the async half)."""
+    ext_fut = None
+    if extended:
+        from bliss_tpu.features import extended_features_jit
+
+        ext_fut = extended_features_jit(batch, cfg)
+
+    def with_ext(core_fn):
+        if ext_fut is None:
+            return core_fn
+        return lambda: np.concatenate(
+            [core_fn(), np.asarray(ext_fut)], axis=1
+        )
+
     if mesh is not None:
         from bliss_tpu.parallel import analyze_sharded
 
         fut = analyze_sharded(batch, mesh, cfg)
-        return lambda: np.asarray(fut)
+        return with_ext(lambda: np.asarray(fut))
     if cfg.tempo_finish == "host":
         from bliss_tpu.features.analyze import _device_stage
         from bliss_tpu.features.tempo import envelope_finish_host
@@ -78,11 +92,11 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh):
                 axis=1,
             )
 
-        return finish
+        return with_ext(finish)
     from bliss_tpu.features import analyze_batch_jit
 
     fut = analyze_batch_jit(batch, cfg)
-    return lambda: np.asarray(fut)
+    return with_ext(lambda: np.asarray(fut))
 
 
 def _bucket_length(n: int, pad_multiple: int) -> int:
@@ -104,12 +118,17 @@ def analyze_library(
     mesh=None,
     num_decode_workers: int | None = None,
     progress=None,
+    extended: bool = False,
 ) -> ScanResult:
     """Analyze a library of audio files; returns features in input order.
 
-    progress: optional callback (done, total, message).
+    progress: optional callback (done, total, message). With
+    ``extended=True`` the ROADMAP feature set (zcr, loudness, spectral
+    moments, MFCC stats) is computed in the same device pass and returned in
+    ScanResult.extended; store entries then carry the concatenated vector.
     """
     from bliss_tpu.api import analyze_features
+    from bliss_tpu.features import EXTENDED_FEATURE_NAMES
 
     if cfg is None:
         from bliss_tpu.api import default_config
@@ -117,7 +136,12 @@ def analyze_library(
         cfg = default_config()
     timer = StageTimer()
     n_total = len(files)
+    n_ext = len(EXTENDED_FEATURE_NAMES) if extended else 0
+    width = 4 + n_ext
     features = np.full((n_total, 4), np.nan, np.float32)
+    ext_features = (
+        np.full((n_total, n_ext), np.nan, np.float32) if extended else None
+    )
     ok = np.zeros(n_total, bool)
     errors: dict[str, str] = {}
     done = 0
@@ -139,8 +163,10 @@ def analyze_library(
                     continue
                 fps[i] = fp
                 cached = store.get(fp)
-                if cached is not None:
-                    features[i] = cached
+                if cached is not None and cached.shape[0] == width:
+                    features[i] = cached[:4]
+                    if extended:
+                        ext_features[i] = cached[4:]
                     ok[i] = True
                 else:
                     todo.append(i)
@@ -179,7 +205,7 @@ def analyze_library(
                 np.array(durs, np.int32),
             )
         with timer.stage("device_dispatch"):
-            fin = _dispatch_analysis(batch, cfg, mesh)
+            fin = _dispatch_analysis(batch, cfg, mesh, extended)
         in_flight.append((entries, L, fin))
         while len(in_flight) > max_in_flight:
             finalize_oldest()
@@ -190,7 +216,9 @@ def analyze_library(
         with timer.stage("device_finalize"):
             feats = fin()
         for (i, d), row in zip(entries, feats):
-            features[i] = row
+            features[i] = row[:4]
+            if extended:
+                ext_features[i] = row[4:]
             ok[i] = True
             done += 1
             if store is not None and i in fps:
@@ -229,4 +257,4 @@ def analyze_library(
     log_event(logger, "scan complete", total=n_total, ok=int(ok.sum()), **{
         k: v["seconds"] for k, v in timer.report().items()
     })
-    return ScanResult(list(files), features, ok, errors, stats)
+    return ScanResult(list(files), features, ok, errors, stats, ext_features)

@@ -125,3 +125,15 @@ def test_cli_detect_gapless_positive(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Gapless!" in out
     assert rc == 1  # the reference exits 1 on gapless detection
+
+
+def test_cli_scan_extended(library, tmp_path):
+    csv = tmp_path / "ext.csv"
+    rc = main([
+        "scan", str(library / "song.flac"), "-o", str(csv),
+        "--batch-size", "2", "--extended",
+    ])
+    assert rc == 0
+    lines = csv.read_text().strip().splitlines()
+    assert "mfcc_0" in lines[0]
+    assert len(lines[1].split(";")) == len(lines[0].split(";"))

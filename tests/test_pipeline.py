@@ -102,3 +102,32 @@ def test_analyze_library_with_mesh(fixture_dir):
     r_single = analyze_library(files, cfg=cfg, batch_size=2)
     assert r_mesh.ok.all()
     np.testing.assert_allclose(r_mesh.features, r_single.features, atol=2e-6)
+
+
+def test_analyze_library_extended(fixture_dir, tmp_path):
+    from bliss_tpu.features import EXTENDED_FEATURE_NAMES
+
+    files = [
+        os.path.join(fixture_dir, "song.flac"),
+        os.path.join(fixture_dir, "song_s32.flac"),
+    ]
+    store = FeatureStore(str(tmp_path / "s"))
+    r = analyze_library(files, cfg=CFG, batch_size=2, store=store,
+                        extended=True)
+    assert r.ok.all()
+    assert r.extended.shape == (2, len(EXTENDED_FEATURE_NAMES))
+    assert np.isfinite(r.extended).all()
+    np.testing.assert_allclose(r.features[0], GOLDEN_SONG, atol=1e-5)
+
+    # resume serves concatenated vectors from the store
+    store2 = FeatureStore(str(tmp_path / "s"))
+    r2 = analyze_library(files, cfg=CFG, batch_size=2, store=store2,
+                         extended=True)
+    assert r2.stats.get("device_dispatch", {"count": 0})["count"] == 0
+    np.testing.assert_allclose(r2.extended, r.extended, atol=0)
+
+    # a plain (4-wide) scan with the same store re-analyzes rather than
+    # mis-reading 35-wide entries
+    r3 = analyze_library(files, cfg=CFG, batch_size=2, store=store2)
+    assert r3.ok.all()
+    np.testing.assert_allclose(r3.features, r.features, atol=1e-6)
