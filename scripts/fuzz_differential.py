@@ -23,8 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BUILD = os.path.join(REPO, "baseline", "build")
 
 
-def random_song(rng, seconds):
-    sr = 22050
+def random_song(rng, seconds, sr=22050):
     n = sr * seconds
     t = np.arange(n)
     sig = np.zeros(n)
@@ -42,6 +41,7 @@ def random_song(rng, seconds):
         a = rng.randint(0, n // 2)
         sig[a : a + rng.randint(sr // 10, sr)] = 0
     sig *= np.clip(t / (0.02 * sr), 0, 1) * np.clip((n - t) / (0.02 * sr), 0, 1)
+
     left = np.clip(sig, -32767, 32767).astype(np.int16)
     right = np.clip(sig * rng.uniform(0.5, 1.0), -32767, 32767).astype(np.int16)
     return np.stack([left, right], axis=1)
@@ -74,9 +74,13 @@ def main():
     devs = []
     with tempfile.TemporaryDirectory() as tmp:
         for i in range(n_cases):
-            frames = random_song(rng, int(rng.randint(3, 9)))
+            # every 4th case uses a non-canonical sample rate, exercising the
+            # resampler end-to-end on both sides (same swresample library ->
+            # identical PCM -> identical features expected)
+            sr = 22050 if i % 4 == 0 else [44100, 48000, 32000][(i % 4) - 1]
+            frames = random_song(rng, int(rng.randint(3, 9)), sr=sr)
             path = os.path.join(tmp, f"fuzz{i}.flac")
-            write_flac(path, frames, 22050)
+            write_flac(path, frames, sr)
             out = subprocess.run(
                 [os.path.join(BUILD, "analyze"), path],
                 capture_output=True, text=True, env=env, timeout=300,

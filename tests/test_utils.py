@@ -28,10 +28,7 @@ def test_stage_timer_accumulates():
     assert rep["a"]["seconds"] >= 0
 
 
-def test_structured_logging_json(monkeypatch, capsys):
-    import importlib
-
-    monkeypatch.setenv("BLISS_TPU_LOG_JSON", "1")
+def test_structured_logging_json():
     import bliss_tpu.utils.logging as L
 
     logger = logging.getLogger("bliss_tpu.test_json")
