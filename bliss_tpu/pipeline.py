@@ -127,7 +127,6 @@ def analyze_library(
     moments, MFCC stats) is computed in the same device pass and returned in
     ScanResult.extended; store entries then carry the concatenated vector.
     """
-    from bliss_tpu.api import analyze_features
     from bliss_tpu.features import EXTENDED_FEATURE_NAMES
 
     if cfg is None:

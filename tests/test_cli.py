@@ -137,3 +137,12 @@ def test_cli_scan_extended(library, tmp_path):
     lines = csv.read_text().strip().splitlines()
     assert "mfcc_0" in lines[0]
     assert len(lines[1].split(";")) == len(lines[0].split(";"))
+
+
+def test_cli_analyze_extended(capsys, fixture_dir):
+    rc = main(["analyze", "--extended", os.path.join(fixture_dir, "song.flac")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "zero_crossing_rate:" in out
+    assert "mfcc_0:" in out
+    assert "spectral_centroid_hz:" in out
