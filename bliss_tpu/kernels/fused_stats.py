@@ -57,8 +57,8 @@ def _cheb_T(m, coeffs, halfwidth):
 
 
 def _kernel(
-    nse_ref,   # SMEM [1, 1, 2] int32: (start, end) trim bounds
-    ab_ref,    # SMEM [1, 1, 2] float32: (alpha, beta) normalization
+    nse_ref,   # SMEM [1, 1, 2] int32: (start, end) trim bounds (chunk-local)
+    ab_ref,    # SMEM [1, 1, 4] float32: (alpha, beta, halo0_valid, unused)
     x_ref,     # VMEM [1, NBLK, 256] int16: this chunk as hop-sized rows
     halo_ref,  # VMEM [1, 1, 16, 128] int16: last 2048 samples before chunk
     warm_ref,  # VMEM [16, 16] float32: FIR warm-up correction matrix
@@ -92,7 +92,10 @@ def _kernel(
         halo_ref[0, 0].astype(jnp.float32).reshape(1, 16 * 128)[:, -K:] * alpha
         + beta
     )  # [1, K]: the 16 raw samples preceding this chunk, normalized
-    halo_tail = jnp.where(j == 0, jnp.zeros_like(halo_tail), halo_tail)
+    # Chunk 0 has zero history unless the caller injected one (sharded mode
+    # passes the previous sequence-shard's tail and sets halo0_valid).
+    no_hist = (j == 0) & (ab_ref[0, 0, 2] == 0.0)
+    halo_tail = jnp.where(no_hist, jnp.zeros_like(halo_tail), halo_tail)
     # Row-shift the per-block tails down by one (block b's history is block
     # b-1's last K samples); row 0 takes the cross-chunk halo.
     tails = pltpu.roll(xn[:, BLK - K :], shift=1, axis=0)  # [NBLK, K]
@@ -137,15 +140,23 @@ def _kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
-def fused_sample_stats(samples, n_samples, interpret: bool = False,
-                       chunk: int = DEFAULT_CHUNK):
-    """samples: int16 [B, L]; n_samples: int32 [B].
+def fused_stats_call(
+    samples,
+    start,
+    end,
+    alpha,
+    beta,
+    halo0=None,
+    interpret: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Low-level kernel invocation with caller-provided normalization and
+    trim scalars (all local to `samples`' index space).
 
-    Returns (amp_integral [B], energies [B, NW]) where amp_integral is the
-    smoothed-histogram windowed integral (before the affine score) and
-    energies are the per-window Parseval spectral sums (before window-count
-    masking), NW = L//hop - 1. L is padded to a CHUNK multiple internally.
+    Returns (amp_dot [B] — the raw weighted sample sum over [start, end],
+    energies [B, NW]). ``halo0``: optional [B, 16] int16 conv history for
+    the very first block (sequence-sharded callers pass the previous shard's
+    tail; standalone use keeps the zero history).
     """
     B, L0 = samples.shape
     CHUNK = min(chunk, ((L0 + BLK - 1) // BLK) * BLK)
@@ -156,34 +167,23 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
     NC = L // CHUNK
     NBF = L // BLK
 
-    # ---- prepass: trim bounds + integer mean / variance (plain XLA) -------
-    s32 = x.astype(jnp.int32)
-    nz = x != 0
-    idx = jnp.arange(L, dtype=jnp.int32)
-    start = jnp.argmax(nz, axis=1).astype(jnp.int32)
-    end = (L - 1 - jnp.argmax(nz[:, ::-1], axis=1)).astype(jnp.int32)
-    valid = idx[None, :] < n_samples[:, None]
-    mean = jnp.sum(jnp.where(valid, s32, 0), axis=1, dtype=jnp.int32)
-    from bliss_tpu.dsp.intops import c_div
+    nse = jnp.stack(
+        [start.astype(jnp.int32), end.astype(jnp.int32)], axis=1
+    )[:, None, :]
+    hv = jnp.full(
+        (B,), 0.0 if halo0 is None else 1.0, jnp.float32
+    )
+    ab = jnp.stack(
+        [alpha.astype(jnp.float32), beta.astype(jnp.float32), hv, hv * 0],
+        axis=1,
+    )[:, None, :]
 
-    mean = c_div(mean, n_samples)
-    d = jnp.where(valid, s32 - mean[:, None], 0).astype(jnp.float32)
-    var = jnp.trunc(jnp.sum(d * d, axis=1) / n_samples.astype(jnp.float32))
-    inv = jnp.float32(1.0 / (1 << 15))
-    # xn = alpha * s + beta
-    alpha = inv / (var * inv * inv)
-    beta = -(mean.astype(jnp.float32) * inv) / (var * inv * inv)
-    # The normalized signal should be zero outside [0, n); alpha*0+beta is
-    # not zero, but every window touching the invalid tail is masked by the
-    # caller, so those energies never surface.
-
-    nse = jnp.stack([start, end], axis=1)[:, None, :]
-    ab = jnp.stack([alpha, beta], axis=1)[:, None, :]
-
-    # 2048 raw samples preceding each chunk (chunk 0's row is zero-filled by
-    # the kernel), as [B, NC, 16, 128] tiles.
+    # 2048 raw samples preceding each chunk (chunk 0's row is zero-filled
+    # unless a cross-shard history is injected), as [B, NC, 16, 128] tiles.
     halo = jnp.pad(x, ((0, 0), (16 * 128, 0)))[:, :L]
     halo = halo.reshape(B, NC, CHUNK)[:, :, : 16 * 128].reshape(B, NC, 16, 128)
+    if halo0 is not None:
+        halo = halo.at[:, 0, 15, 128 - K :].set(halo0.astype(jnp.int16))
 
     A, _, c_pos = tables.amplitude_cdf_poly()
     warm = tables.fir_warmup_correction()[0]
@@ -238,9 +238,7 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
     d1 = out[:, :, 3, :].reshape(B, NBF)
     d2 = out[:, :, 4, :].reshape(B, NBF)
     da = out[:, :, 5, :].reshape(B, NBF)
-    amp_integral = jnp.sum(out[:, :, 6, 0], axis=1) * (
-        100.0 / (end - start).astype(jnp.float32)
-    )
+    amp_dot = jnp.sum(out[:, :, 6, 0], axis=1)
 
     NW = NBF - 1
     sum_y2 = s2[:, :NW] + s2[:, 1:] + d2[:, :NW]
@@ -249,4 +247,44 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
     energies = (C.WINDOW_SIZE / 2) * sum_y2 + (
         sum_y * sum_y + sum_a * sum_a
     ) / 2.0
+    return amp_dot, energies
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def fused_sample_stats(samples, n_samples, interpret: bool = False,
+                       chunk: int = DEFAULT_CHUNK):
+    """samples: int16 [B, L]; n_samples: int32 [B].
+
+    Returns (amp_integral [B], energies [B, NW]) where amp_integral is the
+    smoothed-histogram windowed integral (before the affine score) and
+    energies are the per-window Parseval spectral sums (before window-count
+    masking), NW = L//hop - 1. L is padded to a CHUNK multiple internally.
+    """
+    x = samples
+    B, L = x.shape
+    # prepass: trim bounds + integer mean / variance (plain XLA)
+    s32 = x.astype(jnp.int32)
+    nz = x != 0
+    idx = jnp.arange(L, dtype=jnp.int32)
+    start = jnp.argmax(nz, axis=1).astype(jnp.int32)
+    end = (L - 1 - jnp.argmax(nz[:, ::-1], axis=1)).astype(jnp.int32)
+    valid = idx[None, :] < n_samples[:, None]
+    mean = jnp.sum(jnp.where(valid, s32, 0), axis=1, dtype=jnp.int32)
+    from bliss_tpu.dsp.intops import c_div
+
+    mean = c_div(mean, n_samples)
+    d = jnp.where(valid, s32 - mean[:, None], 0).astype(jnp.float32)
+    var = jnp.trunc(jnp.sum(d * d, axis=1) / n_samples.astype(jnp.float32))
+    inv = jnp.float32(1.0 / (1 << 15))
+    # xn = alpha * s + beta; the normalized signal should be zero outside
+    # [0, n) — alpha*0+beta is not zero, but every window touching the
+    # invalid tail is masked by the caller, so those energies never surface.
+    alpha = inv / (var * inv * inv)
+    beta = -(mean.astype(jnp.float32) * inv) / (var * inv * inv)
+
+    amp_dot, energies = fused_stats_call(
+        samples, start, end, alpha, beta,
+        interpret=interpret, chunk=chunk,
+    )
+    amp_integral = amp_dot * (100.0 / (end - start).astype(jnp.float32))
     return amp_integral, energies

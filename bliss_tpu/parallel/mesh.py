@@ -105,8 +105,13 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
 
     def local_fn(s, n, dur):
         # s: [Bl, Ls] int16 local slice; n, dur: [Bl] (replicated over seq)
+        s16 = s
         s = s.astype(jnp.int32)
         Bl, Ls = s.shape
+        use_fused = (
+            cfg.fused_kernel and cfg.dtype == "float32"
+            and cfg.nb_bands == 1 and Ls >= 65536
+        )
         seq_ix = jax.lax.axis_index("seq")
         n_seq = jax.lax.axis_size("seq")
         offset = seq_ix * Ls
@@ -123,15 +128,14 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         end = jax.lax.pmax(loc_last, "seq")
 
         # ---- amplitude: partial weighted reduction + psum ------------------
-        seg = (gidx >= start[:, None]) & (gidx <= end[:, None])
-        w = jnp.asarray(tables.amplitude_weight_table(), dtype)
-        part = jnp.sum(jnp.take(w, s + (1 << 15), axis=0) * seg.astype(dtype), axis=1)
-        dot = jax.lax.psum(part, "seq")
-        span = (end - start).astype(dtype)
-        integral = (dot * (jnp.asarray(100.0, dtype) / span)).astype(jnp.float32)
-        amplitude = (
-            jnp.float32(C.AMPLITUDE_SCALE) * integral + jnp.float32(C.AMPLITUDE_BIAS)
-        )
+        # (fused mode folds this into the Pallas sample-stats kernel below)
+        if not use_fused:
+            seg = (gidx >= start[:, None]) & (gidx <= end[:, None])
+            w = jnp.asarray(tables.amplitude_weight_table(), dtype)
+            part = jnp.sum(
+                jnp.take(w, s + (1 << 15), axis=0) * seg.astype(dtype), axis=1
+            )
+            amp_dot = jax.lax.psum(part, "seq")
 
         # ---- frequency: partial power spectra + psum -----------------------
         W = C.WINDOW_SIZE
@@ -181,63 +185,102 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
                 / n.astype(dtype)
             )
         inv = jnp.asarray(1.0 / (1 << 15), dtype)
-        norm = (s.astype(dtype) * inv - mean[:, None].astype(dtype) * inv) / (
-            var[:, None] * inv * inv
-        )
-        norm = jnp.where(valid, norm, 0.0)
-
-        # Blocked Parseval energies per shard (see features/tempo.py and
-        # docs/DESIGN.md §2): one convolution pass + per-block partial sums.
-        # Two ring exchanges replace the overlapped-window framing:
-        #  - conv history: the LAST 16 normalized samples of the left
-        #    neighbor (zero for the first shard, matching zero padding);
-        #  - the right neighbor's first-block partial sums, needed by this
-        #    shard's last window (windows span two hop-blocks).
         hop = C.TEMPO_HOP
         K = C.NB_FIR_COEFFS - 1
         fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
         bwd = [(i, (i - 1) % n_seq) for i in range(n_seq)]
-        halo_prev = jax.lax.ppermute(norm[:, -K:], "seq", fwd)
-        halo_prev = jnp.where(seq_ix == 0, jnp.zeros_like(halo_prev), halo_prev)
-        xp = jnp.concatenate([halo_prev, norm], axis=1)  # [Bl, Ls + K]
-
-        coeffs = tables.bandpass_filterbank(1, C.NB_FIR_COEFFS)[0]
-        z = jnp.zeros_like(norm)
-        for m in range(C.NB_FIR_COEFFS):
-            z = z + jnp.asarray(coeffs[m], dtype) * xp[:, K - m : K - m + Ls]
-
         NBF_l = Ls // hop
-        alt = jnp.asarray(tables.parseval_alt_sign()[:hop], dtype)
-        zb = z.reshape(Bl, NBF_l, hop)
-        S1 = jnp.sum(zb, axis=-1)
-        S2 = jnp.sum(zb * zb, axis=-1)
-        SA = jnp.sum(zb * alt, axis=-1)
 
-        hist = xp[:, :Ls].reshape(Bl, NBF_l, hop)[:, :, :K]
-        zh = zb[..., :K]
-        Mw = jnp.asarray(tables.fir_warmup_correction()[0], dtype)
-        delta = jnp.einsum("bwk,jk->bwj", hist, Mw)
-        d1 = jnp.sum(delta, axis=-1)
-        d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
-        da = jnp.sum(delta * alt[:K], axis=-1)
+        if use_fused:
+            # ---- fused Pallas sample-stats per shard ------------------------
+            # ring exchanges: the right neighbor's first hop-block completes
+            # this shard's boundary window; the left neighbor's last K raw
+            # samples seed the conv history. For the first shard the history
+            # must be zero in NORMALIZED space: the raw value whose
+            # normalization is exactly zero is the integer mean.
+            from bliss_tpu.kernels.fused_stats import fused_stats_call
 
-        # right neighbor's first-block sums complete this shard's last window
-        S_first = jnp.stack([S1[:, 0], S2[:, 0], SA[:, 0]], axis=-1)
-        S_next = jax.lax.ppermute(S_first, "seq", bwd)
-        S1n = jnp.concatenate([S1[:, 1:], S_next[:, 0:1]], axis=1)
-        S2n = jnp.concatenate([S2[:, 1:], S_next[:, 1:2]], axis=1)
-        SAn = jnp.concatenate([SA[:, 1:], S_next[:, 2:3]], axis=1)
+            alpha = inv / (var * inv * inv)
+            beta = -(mean.astype(dtype) * inv) / (var * inv * inv)
+            right = jax.lax.ppermute(s16[:, :hop], "seq", bwd)
+            left16 = jax.lax.ppermute(s16[:, -K:], "seq", fwd)
+            left16 = jnp.where(
+                seq_ix == 0,
+                jnp.clip(mean, -32768, 32767).astype(jnp.int16)[:, None],
+                left16,
+            )
+            x_ext = jnp.concatenate([s16, right], axis=1)
+            start_l = start - offset
+            end_l = jnp.minimum(end - offset, Ls - 1)
+            amp_part, energies_ext = fused_stats_call(
+                x_ext, start_l, end_l, alpha, beta, halo0=left16,
+                interpret=jax.default_backend() == "cpu",
+            )
+            amp_dot = jax.lax.psum(amp_part, "seq")
+            energy = energies_ext[:, :NBF_l]
 
-        sum_y2 = S2 + S2n + d2
-        sum_y = S1 + S1n + d1
-        sum_a = SA + SAn + da
-        energy = (W / 2) * sum_y2 + (sum_y * sum_y + sum_a * sum_a) / 2.0
+        if not use_fused:
+            norm = (s.astype(dtype) * inv - mean[:, None].astype(dtype) * inv) / (
+                var[:, None] * inv * inv
+            )
+            norm = jnp.where(valid, norm, 0.0)
+
+            # Blocked Parseval energies per shard (see features/tempo.py and
+            # docs/DESIGN.md §2): one convolution pass + per-block partial sums.
+            # Two ring exchanges replace the overlapped-window framing:
+            #  - conv history: the LAST 16 normalized samples of the left
+            #    neighbor (zero for the first shard, matching zero padding);
+            #  - the right neighbor's first-block partial sums, needed by this
+            #    shard's last window (windows span two hop-blocks).
+            halo_prev = jax.lax.ppermute(norm[:, -K:], "seq", fwd)
+            halo_prev = jnp.where(seq_ix == 0, jnp.zeros_like(halo_prev), halo_prev)
+            xp = jnp.concatenate([halo_prev, norm], axis=1)  # [Bl, Ls + K]
+
+            coeffs = tables.bandpass_filterbank(1, C.NB_FIR_COEFFS)[0]
+            z = jnp.zeros_like(norm)
+            for m in range(C.NB_FIR_COEFFS):
+                z = z + jnp.asarray(coeffs[m], dtype) * xp[:, K - m : K - m + Ls]
+
+            alt = jnp.asarray(tables.parseval_alt_sign()[:hop], dtype)
+            zb = z.reshape(Bl, NBF_l, hop)
+            S1 = jnp.sum(zb, axis=-1)
+            S2 = jnp.sum(zb * zb, axis=-1)
+            SA = jnp.sum(zb * alt, axis=-1)
+
+            hist = xp[:, :Ls].reshape(Bl, NBF_l, hop)[:, :, :K]
+            zh = zb[..., :K]
+            Mw = jnp.asarray(tables.fir_warmup_correction()[0], dtype)
+            delta = jnp.einsum("bwk,jk->bwj", hist, Mw)
+            d1 = jnp.sum(delta, axis=-1)
+            d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
+            da = jnp.sum(delta * alt[:K], axis=-1)
+
+            # right neighbor's first-block sums complete this shard's last window
+            S_first = jnp.stack([S1[:, 0], S2[:, 0], SA[:, 0]], axis=-1)
+            S_next = jax.lax.ppermute(S_first, "seq", bwd)
+            S1n = jnp.concatenate([S1[:, 1:], S_next[:, 0:1]], axis=1)
+            S2n = jnp.concatenate([S2[:, 1:], S_next[:, 1:2]], axis=1)
+            SAn = jnp.concatenate([SA[:, 1:], S_next[:, 2:3]], axis=1)
+
+            sum_y2 = S2 + S2n + d2
+            sum_y = S1 + S1n + d1
+            sum_a = SA + SAn + da
+            energy = (W / 2) * sum_y2 + (sum_y * sum_y + sum_a * sum_a) / 2.0
 
         trunc_n = n - n % W
         n_windows = -((-(trunc_n - W)) // hop)
         gwin = seq_ix * NBF_l + jnp.arange(NBF_l, dtype=jnp.int32)
         wmask = gwin[None, :] < n_windows[:, None]
         energy = energy * wmask.astype(dtype)
+
+        span = (end - start).astype(dtype)
+        integral = (
+            amp_dot * (jnp.asarray(100.0, dtype) / span)
+        ).astype(jnp.float32)
+        amplitude = (
+            jnp.float32(C.AMPLITUDE_SCALE) * integral
+            + jnp.float32(C.AMPLITUDE_BIAS)
+        )
 
         fa = jax.lax.all_gather(energy, "seq", axis=1, tiled=True)  # [Bl, L//hop]
 

@@ -67,3 +67,28 @@ def test_sharded_distance_topk_matches_dense():
         brute[i] = np.inf
         order = np.argsort(brute)[:4]
         np.testing.assert_allclose(d[i], brute[order], rtol=1e-6)
+
+
+def test_sharded_fused_matches_single_device():
+    """Sequence-sharded fused Pallas path (interpret on CPU) == single-device
+    fused path, including the cross-shard conv history and boundary window."""
+    rng = np.random.RandomState(21)
+    arrays = [synth_pcm(rng, 150_000), synth_pcm(rng, 140_000, amp=20000)]
+    batch = PCMBatch.from_arrays(
+        [np.asarray(a) for a in arrays], [7, 6], pad_multiple=1024 * 160
+    )
+    assert batch.samples.shape[1] >= 2 * 65536  # shards stay kernel-eligible
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True
+    )
+    mesh = analysis_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = np.asarray(analyze_sharded(batch, mesh, cfg))
+    single = np.asarray(analyze_batch_jit(batch, cfg))
+    # amplitude & frequency: identical reductions (f32 reorder noise only)
+    np.testing.assert_allclose(sharded[:, 1:3], single[:, 1:3], atol=1e-4)
+    # attack: float32 on-device envelope, small reorder sensitivity
+    np.testing.assert_allclose(sharded[:, 3], single[:, 3], atol=5e-3)
+    # tempo: the float32 device finish may flip epsilon-marginal peaks
+    # (documented); allow a couple of beat quanta
+    dur = np.array([7.0, 6.0])
+    assert (np.abs(sharded[:, 0] - single[:, 0]) <= 2.5 * 4.0 / dur).all()
