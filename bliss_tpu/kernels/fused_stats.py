@@ -202,7 +202,7 @@ def fused_stats_call(
                 (1, 1, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, 4), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, NBLK, BLK), lambda i, j: (i, j, 0),
