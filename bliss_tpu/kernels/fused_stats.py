@@ -161,6 +161,11 @@ def fused_stats_call(
     B, L0 = samples.shape
     CHUNK = min(chunk, ((L0 + BLK - 1) // BLK) * BLK)
     NBLK = CHUNK // BLK
+    if CHUNK < 16 * 128 or NBLK % 8:
+        raise ValueError(
+            f"input too short for the fused kernel tiles (L={L0}); use the "
+            "XLA path for clips under ~8k samples"
+        )
     pad = (-L0) % CHUNK
     x = jnp.pad(samples, ((0, 0), (0, pad))) if pad else samples
     L = L0 + pad
