@@ -161,10 +161,12 @@ def fused_stats_call(
     B, L0 = samples.shape
     CHUNK = min(chunk, ((L0 + BLK - 1) // BLK) * BLK)
     NBLK = CHUNK // BLK
-    if CHUNK < 16 * 128 or NBLK % 8:
+    if CHUNK < 16 * 128 or (L0 > CHUNK and NBLK % 8):
+        # NBLK must tile into sublanes when multiple chunks share the block
+        # shape; a single full-array chunk is exempt (equal-dims rule).
         raise ValueError(
             f"input too short for the fused kernel tiles (L={L0}); use the "
-            "XLA path for clips under ~8k samples"
+            "XLA path for clips under ~2k samples"
         )
     pad = (-L0) % CHUNK
     x = jnp.pad(samples, ((0, 0), (0, pad))) if pad else samples
