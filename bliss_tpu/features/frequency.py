@@ -73,8 +73,12 @@ def _power_spectrum(x: jnp.ndarray, cfg: AnalysisConfig) -> jnp.ndarray:
         X = jnp.fft.rfft(x, axis=-1)
         re = jnp.real(X)
         im = jnp.imag(X)
+        # The reference never accumulates the Nyquist bin (av_rdft packing;
+        # src/frequency_sort.c:86-93) — its peak is over bins 1..255 only.
+        re = re.at[..., -1].set(0.0)
+        im = im.at[..., -1].set(0.0)
     elif cfg.spectrum_mode == "matmul":
-        dre, dim = tables.rdft_matrices()
+        dre, dim = tables.rdft_matrices(zero_nyquist=True)
         hp = jax.lax.Precision.HIGHEST
         re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
         im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)

@@ -30,7 +30,9 @@ NPAD = 384               # bins padded to a lane multiple
 
 @functools.lru_cache(maxsize=None)
 def _windowed_dft() -> tuple[np.ndarray, np.ndarray]:
-    dre, dim = tables.rdft_matrices()
+    # zero_nyquist: the reference's accumulation never writes bin 256
+    # (src/frequency_sort.c:86-93), so the peak runs over bins 1..255.
+    dre, dim = tables.rdft_matrices(zero_nyquist=True)
     h = tables.hann_window()[:, None]
     re = np.zeros((C.WINDOW_SIZE, NPAD))
     im = np.zeros((C.WINDOW_SIZE, NPAD))

@@ -148,7 +148,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         gslot = seq_ix * slots_l + jnp.arange(slots_l, dtype=jnp.int32)
         fmask = gslot[None, :] < n_frames[:, None]
         x = x * fmask[..., None].astype(dtype)
-        dre, dim = tables.rdft_matrices()
+        dre, dim = tables.rdft_matrices(zero_nyquist=True)
         hp = jax.lax.Precision.HIGHEST
         re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
         im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)

@@ -101,19 +101,32 @@ def hann_window() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def rdft_matrices() -> tuple[np.ndarray, np.ndarray]:
+def rdft_matrices(zero_nyquist: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Real/imag DFT matrices [WINDOW_SIZE, WINDOW_SIZE//2 + 1].
 
     X = x @ (re + i*im) equals numpy's unnormalized rfft. Expressing the
     512-point DFT as a matmul keeps the spectral analysis on the MXU instead
     of a host FFT library (the TPU-native analog of av_rdft/FFTW use in the
     reference).
+
+    zero_nyquist=True zeroes the last (Nyquist) column: the reference's
+    av_rdft packs the Nyquist real part into bin 0's imaginary slot and its
+    accumulation loop never writes power_spectrum[256]
+    (reference: src/frequency_sort.c:86-93), so the frequency analyzer's
+    peak normalization must run over bins 1..255 only. The extended
+    features use the mathematically complete spectrum (default False).
     """
     n = C.WINDOW_SIZE
     k = np.arange(n // 2 + 1)
     t = np.arange(n)
     ang = -2.0 * np.pi * np.outer(t, k) / n
-    return np.cos(ang), np.sin(ang)
+    re, im = np.cos(ang), np.sin(ang)
+    if zero_nyquist:
+        re = re.copy()
+        im = im.copy()
+        re[:, -1] = 0.0
+        im[:, -1] = 0.0
+    return re, im
 
 
 @functools.lru_cache(maxsize=None)

@@ -57,6 +57,34 @@ def test_frequency_vs_oracle(signals):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_frequency_nyquist_dominated_vs_oracle():
+    # The reference never accumulates power_spectrum[256] (av_rdft packing,
+    # frequency_sort.c:86-93): its peak runs over bins 1..255 only. A signal
+    # dominated by the Nyquist frequency diverged by ~2 dB-score before the
+    # zero_nyquist fix; keep all paths anchored to the oracle here.
+    from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
+
+    L = 64 * 1024
+    rng = np.random.RandomState(1)
+    mono = (
+        np.cos(np.pi * np.arange(L // 2)) * 20000 + rng.randn(L // 2) * 100
+    ).clip(-32768, 32767).astype(np.int16)
+    st = np.empty(L, np.int16)
+    st[0::2] = mono
+    st[1::2] = mono
+    batch = PCMBatch.from_arrays([st], [3])
+    want = O.frequency_oracle(st)
+    for mode in ("matmul", "fft"):
+        got = float(
+            frequency_scores(
+                batch, AnalysisConfig(dtype="float64", spectrum_mode=mode)
+            )[0]
+        )
+        assert abs(got - want) < 1e-5, (mode, got, want)
+    got_fused = float(frequency_scores_fused(batch, AnalysisConfig())[0])
+    assert abs(got_fused - want) < 1e-4
+
+
 def test_frequency_fft_vs_matmul(signals):
     batch = _batch(signals)
     mm = np.asarray(frequency_scores(batch, PARITY))
