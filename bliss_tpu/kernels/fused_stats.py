@@ -1,10 +1,12 @@
 """Fused Pallas kernel: one pass over the raw int16 PCM computes
 
 - the amplitude analyzer's weighted sample reduction (Chebyshev CDF
-  evaluation, gather-free), and
+  evaluation, gather-free),
 - the tempo analyzer's per-256-block convolution partial sums
   (S1, S2, S_alt) plus the per-window FIR warm-up corrections
-  (D1, D2, D_alt),
+  (D1, D2, D_alt), and
+- per-block nonzero flags, from which the caller reconstructs the
+  amplitude zero-trim bounds without any full-signal argmax pass,
 
 so the two heaviest sample-rate stages read HBM exactly once, convert
 int16->float32 once in VMEM, and write only tiny per-block reductions.
@@ -19,6 +21,11 @@ tiles, no in-kernel relayout). Each block row is extended by a 16-column
 history from the previous row (pltpu.roll); the cross-chunk history arrives
 as a separate halo input. The 17-tap convolution itself runs as one banded
 matmul on the MXU (tables.conv_band_matrix).
+
+Amplitude trim (reference src/amplitude_sort.c:26-32 trims leading/trailing
+zeros) is exact without masking inside the kernel: zero samples have weight
+w(0) = T(999) = 1 exactly, so the caller subtracts one per out-of-trim
+sample from the unmasked total.
 """
 
 from __future__ import annotations
@@ -33,12 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 from bliss_tpu import constants as C
 from bliss_tpu import tables
 
-DEFAULT_CHUNK = 122880   # samples per grid step along L
+DEFAULT_CHUNK = 245760   # samples per grid step along L
 BLK = C.TEMPO_HOP        # 256
 K = C.NB_FIR_COEFFS - 1  # warm-up depth (16)
 
 # Output row assignment in the fused [8, NBLK] result tile.
-ROWS = ("s1", "s2", "sa", "d1", "d2", "da", "amp")
+ROWS = ("s1", "s2", "sa", "d1", "d2", "da", "wsum", "rownz")
 
 
 def _cheb_T(m, coeffs, halfwidth):
@@ -57,47 +64,46 @@ def _cheb_T(m, coeffs, halfwidth):
 
 
 def _kernel(
-    nse_ref,   # SMEM [1, 1, 2] int32: (start, end) trim bounds (chunk-local)
     ab_ref,    # SMEM [1, 1, 4] float32: (alpha, beta, halo0_valid, unused)
     x_ref,     # VMEM [1, NBLK, 256] int16: this chunk as hop-sized rows
-    halo_ref,  # VMEM [1, 1, 16, 128] int16: last 2048 samples before chunk
+    halo_ref,  # VMEM [1, 1, 1, 128] int16: last 16 samples before this chunk
+               # in lanes 0..15 (sliver, not a full-array shifted copy)
     warm_ref,  # VMEM [16, 16] float32: FIR warm-up correction matrix
     conv_ref,  # VMEM [BLK+16, BLK] float32: banded FIR-as-matmul matrix
     out_ref,   # VMEM out [1, 1, 8, NBLK] float32: rows per ROWS
     *,
     cheb,      # tuple of float coeffs (compile-time)
     halfwidth,
-    chunk,     # samples per grid step
+    conv_precision,
 ):
-    NBLK = chunk // BLK
     j = pl.program_id(1)
     xb = x_ref[0].astype(jnp.float32)  # [NBLK, BLK]
 
-    # ---- amplitude: w(s) = T(999 - s) - T(-1002 - s), masked to [start,end]
-    row = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 1)
-    gidx = j * chunk + row * BLK + col
-    seg = (gidx >= nse_ref[0, 0, 0]) & (gidx <= nse_ref[0, 0, 1])
-    # The weight is symmetric about s = -1 (the smoothing kernel is
-    # symmetric and the integral window is centered there), so
-    # w(s) = T(1000 - |s+1|) exactly — ONE CDF evaluation per sample.
+    # ---- amplitude: w(s) = T(1000 - |s+1|), UNMASKED per-block sums --------
+    # (trim correction happens in the caller; zeros weigh exactly 1)
     w = _cheb_T(1000.0 - jnp.abs(xb + 1.0), cheb, halfwidth)
-    amp_val = jnp.sum(jnp.where(seg, w, 0.0))
+    wsum = jnp.sum(w, axis=1)  # [NBLK]
+
+    # ---- per-block any-nonzero flags (trim bound reconstruction) -----------
+    one = jnp.float32(1.0)
+    rownz = jnp.max(jnp.where(xb != 0.0, one, one * 0), axis=1)  # [NBLK]
 
     # ---- tempo: normalize + halo-extend each hop-block row -----------------
     alpha = ab_ref[0, 0, 0]
     beta = ab_ref[0, 0, 1]
     xn = xb * alpha + beta  # [NBLK, BLK]
-    halo_tail = (
-        halo_ref[0, 0].astype(jnp.float32).reshape(1, 16 * 128)[:, -K:] * alpha
-        + beta
-    )  # [1, K]: the 16 raw samples preceding this chunk, normalized
-    # Chunk 0 has zero history unless the caller injected one (sharded mode
-    # passes the previous sequence-shard's tail and sets halo0_valid).
-    no_hist = (j == 0) & (ab_ref[0, 0, 2] == 0.0)
-    halo_tail = jnp.where(no_hist, jnp.zeros_like(halo_tail), halo_tail)
+    halo_raw = halo_ref[0, 0, :, :K].astype(jnp.float32)  # [1, K]
+    # Chunk 0's history must be zero in NORMALIZED space (matching the
+    # reference's zero-padded conv start) unless the caller injected a real
+    # raw history (sharded mode sets halo0_valid); mid-stream chunks always
+    # normalize their raw sliver.
+    raw_hist = (j > 0) | (ab_ref[0, 0, 2] != 0.0)
+    halo_tail = jnp.where(
+        raw_hist, halo_raw * alpha + beta, jnp.zeros_like(halo_raw)
+    )
     # Row-shift the per-block tails down by one (block b's history is block
     # b-1's last K samples); row 0 takes the cross-chunk halo.
+    NBLK = xb.shape[0]
     tails = pltpu.roll(xn[:, BLK - K :], shift=1, axis=0)  # [NBLK, K]
     rowK = jax.lax.broadcasted_iota(jnp.int32, (NBLK, K), 0)
     prev_tail = jnp.where(
@@ -110,9 +116,10 @@ def _kernel(
     z = jnp.dot(
         ext, conv_ref[:, :],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=conv_precision,
     )
 
+    col = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 1)
     alt = jnp.where(col % 2 == 0, 1.0, -1.0)  # (-1)^t within a block
     s1 = jnp.sum(z, axis=1)
     s2 = jnp.sum(z * z, axis=1)
@@ -133,30 +140,27 @@ def _kernel(
     d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=1)
     da = jnp.sum(delta * altK, axis=1)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NBLK,), 0)
-    amp_row = jnp.where(lane == 0, amp_val, 0.0)
-    out_ref[0, 0] = jnp.stack(
-        [s1, s2, sa, d1, d2, da, amp_row, jnp.zeros_like(s1)]
-    )
+    out_ref[0, 0] = jnp.stack([s1, s2, sa, d1, d2, da, wsum, rownz])
 
 
 def fused_stats_call(
     samples,
-    start,
-    end,
     alpha,
     beta,
     halo0=None,
     interpret: bool = False,
     chunk: int = DEFAULT_CHUNK,
+    conv_precision=jax.lax.Precision.HIGHEST,
 ):
-    """Low-level kernel invocation with caller-provided normalization and
-    trim scalars (all local to `samples`' index space).
+    """Low-level kernel invocation with caller-provided normalization
+    scalars.
 
-    Returns (amp_dot [B] — the raw weighted sample sum over [start, end],
-    energies [B, NW]). ``halo0``: optional [B, 16] int16 conv history for
-    the very first block (sequence-sharded callers pass the previous shard's
-    tail; standalone use keeps the zero history).
+    Returns (wsum [B, NBF] — UNMASKED per-block weight sums (padding blocks
+    count 1 per sample), rownz [B, NBF] — per-block any-nonzero flags,
+    energies [B, NW]). NBF = padded block count (the padded length is
+    NBF * 256). ``halo0``: optional [B, 16] int16 conv history for the very
+    first block (sequence-sharded callers pass the previous shard's tail;
+    standalone use keeps the zero history).
     """
     B, L0 = samples.shape
     CHUNK = min(chunk, ((L0 + BLK - 1) // BLK) * BLK)
@@ -174,9 +178,6 @@ def fused_stats_call(
     NC = L // CHUNK
     NBF = L // BLK
 
-    nse = jnp.stack(
-        [start.astype(jnp.int32), end.astype(jnp.int32)], axis=1
-    )[:, None, :]
     hv = jnp.full(
         (B,), 0.0 if halo0 is None else 1.0, jnp.float32
     )
@@ -185,12 +186,17 @@ def fused_stats_call(
         axis=1,
     )[:, None, :]
 
-    # 2048 raw samples preceding each chunk (chunk 0's row is zero-filled
-    # unless a cross-shard history is injected), as [B, NC, 16, 128] tiles.
-    halo = jnp.pad(x, ((0, 0), (16 * 128, 0)))[:, :L]
-    halo = halo.reshape(B, NC, CHUNK)[:, :, : 16 * 128].reshape(B, NC, 16, 128)
-    if halo0 is not None:
-        halo = halo.at[:, 0, 15, 128 - K :].set(halo0.astype(jnp.int16))
+    # The 16 raw samples preceding each chunk, as tiny [B, NC, 1, 128]
+    # slivers (lanes 0..15 carry data): chunk j takes chunk j-1's tail;
+    # chunk 0 is zero-filled unless a cross-shard history is injected.
+    tails = x.reshape(B, NC, CHUNK)[:, :, CHUNK - K :]  # [B, NC, K]
+    first = (
+        halo0.astype(jnp.int16)
+        if halo0 is not None
+        else jnp.zeros((B, K), jnp.int16)
+    )
+    halo = jnp.concatenate([first[:, None, :], tails[:, : NC - 1]], axis=1)
+    halo = jnp.pad(halo, ((0, 0), (0, 0), (0, 128 - K)))[:, :, None, :]
 
     A, _, c_pos = tables.amplitude_cdf_poly()
     warm = tables.fir_warmup_correction()[0]
@@ -199,15 +205,12 @@ def fused_stats_call(
         _kernel,
         cheb=tuple(float(v) for v in c_pos),
         halfwidth=float(A),
-        chunk=CHUNK,
+        conv_precision=conv_precision,
     )
     out = pl.pallas_call(
         kern,
         grid=(B, NC),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
-            ),
             pl.BlockSpec(
                 (1, 1, 4), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
             ),
@@ -216,7 +219,7 @@ def fused_stats_call(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 16, 128), lambda i, j: (i, j, 0, 0),
+                (1, 1, 1, 128), lambda i, j: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -231,7 +234,6 @@ def fused_stats_call(
         out_shape=jax.ShapeDtypeStruct((B, NC, 8, NBLK), jnp.float32),
         interpret=interpret,
     )(
-        nse,
         ab,
         x.reshape(B, NC * NBLK, BLK),
         halo,
@@ -245,7 +247,8 @@ def fused_stats_call(
     d1 = out[:, :, 3, :].reshape(B, NBF)
     d2 = out[:, :, 4, :].reshape(B, NBF)
     da = out[:, :, 5, :].reshape(B, NBF)
-    amp_dot = jnp.sum(out[:, :, 6, 0], axis=1)
+    wsum = out[:, :, 6, :].reshape(B, NBF)
+    rownz = out[:, :, 7, :].reshape(B, NBF)
 
     NW = NBF - 1
     sum_y2 = s2[:, :NW] + s2[:, 1:] + d2[:, :NW]
@@ -254,7 +257,35 @@ def fused_stats_call(
     energies = (C.WINDOW_SIZE / 2) * sum_y2 + (
         sum_y * sum_y + sum_a * sum_a
     ) / 2.0
-    return amp_dot, energies
+    return wsum, rownz, energies
+
+
+def trim_bounds_from_rownz(samples, rownz, L0: int):
+    """Reconstruct the amplitude zero-trim bounds (first/last nonzero sample
+    index) from per-block nonzero flags + two tiny per-song block gathers.
+
+    Replaces a full [B, L] forward+reverse argmax pass (measured ~1.5 ms at
+    B=128) with O(B * 256) work after the kernel.
+    """
+    B = samples.shape[0]
+    NBF_data = (L0 + BLK - 1) // BLK
+    nz = rownz[:, :NBF_data] > 0.0
+    any_nz = jnp.any(nz, axis=1)
+    bf = jnp.argmax(nz, axis=1).astype(jnp.int32)
+    bl = (NBF_data - 1 - jnp.argmax(nz[:, ::-1], axis=1)).astype(jnp.int32)
+
+    pad = NBF_data * BLK - L0
+    xp = jnp.pad(samples, ((0, 0), (0, pad))) if pad else samples
+    xblk = xp.reshape(B, NBF_data, BLK)
+    first_blk = jnp.take_along_axis(xblk, bf[:, None, None], axis=1)[:, 0]
+    last_blk = jnp.take_along_axis(xblk, bl[:, None, None], axis=1)[:, 0]
+    inner_f = jnp.argmax(first_blk != 0, axis=1).astype(jnp.int32)
+    inner_l = (
+        BLK - 1 - jnp.argmax(last_blk[:, ::-1] != 0, axis=1)
+    ).astype(jnp.int32)
+    start = jnp.where(any_nz, bf * BLK + inner_f, 0)
+    end = jnp.where(any_nz, bl * BLK + inner_l, L0 - 1)
+    return start, end
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
@@ -269,12 +300,9 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
     """
     x = samples
     B, L = x.shape
-    # prepass: trim bounds + integer mean / variance (plain XLA)
+    # prepass: integer mean / variance (plain XLA, one fused pass each)
     s32 = x.astype(jnp.int32)
-    nz = x != 0
     idx = jnp.arange(L, dtype=jnp.int32)
-    start = jnp.argmax(nz, axis=1).astype(jnp.int32)
-    end = (L - 1 - jnp.argmax(nz[:, ::-1], axis=1)).astype(jnp.int32)
     valid = idx[None, :] < n_samples[:, None]
     mean = jnp.sum(jnp.where(valid, s32, 0), axis=1, dtype=jnp.int32)
     from bliss_tpu.dsp.intops import c_div
@@ -289,9 +317,14 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
     alpha = inv / (var * inv * inv)
     beta = -(mean.astype(jnp.float32) * inv) / (var * inv * inv)
 
-    amp_dot, energies = fused_stats_call(
-        samples, start, end, alpha, beta,
-        interpret=interpret, chunk=chunk,
+    wsum, rownz, energies = fused_stats_call(
+        samples, alpha, beta, interpret=interpret, chunk=chunk,
     )
+    start, end = trim_bounds_from_rownz(samples, rownz, L)
+    trimlen = (end - start + 1).astype(jnp.float32)
+    # Unmasked total minus w(0)=1 per sample outside [start, end] (incl. the
+    # kernel's own zero padding, NBF*256 total samples).
+    Lpad = jnp.float32(wsum.shape[1] * BLK)
+    amp_dot = jnp.sum(wsum, axis=1) - (Lpad - trimlen)
     amp_integral = amp_dot * (100.0 / (end - start).astype(jnp.float32))
     return amp_integral, energies

@@ -1,12 +1,32 @@
 """Pallas STFT-power kernel for the frequency analyzer.
 
 Computes sum over non-overlapping 512-sample windows of |DFT(hann * w)|^2
-entirely on the MXU: the Hann window is folded into the DFT matrices
-(diag(hann) @ D), each grid step multiplies a [128, 512] tile of mono
-frames against the windowed DFT matrices and accumulates the squared
-magnitudes into a per-song power row. The stereo downmix (C-truncated
-integer average, reference: src/frequency_sort.c:71-73) runs as a cheap XLA
-prepass so the kernel sees mono int16 frames.
+entirely on the MXU, reading the RAW INTERLEAVED stereo PCM — no separate
+downmix pass (a [B, L/2] de-interleave costs a TPU relayout, measured
+~1.7 ms at B=128, more than the matmul itself).
+
+Two algebraic moves make that possible:
+
+1. Downmix-in-the-matrix: with M[2k, :] = M[2k+1, :] = D[k, :]/2 (rows
+   duplicated per stereo pair), frame_interleaved @ M = ((l + r)/2) @ D
+   exactly. The C-truncated integer average (reference:
+   src/frequency_sort.c:71-73) differs from (l+r)/2 by
+   eps_k in {0, +-1/2}; adding 2*eps at the even lanes of the interleaved
+   frame makes the identity exact: (frame + 2*eps_even) @ M = mono_cdiv @ D.
+   eps is lane-local VPU work (one roll + parity/sign selects).
+
+2. Exact int16 -> bf16 splitting: x = 256*a + b2 with a in [-128, 127],
+   b2 = b + 2*eps in [-129, 128] — all exactly representable in bf16. Three
+   DEFAULT-precision (single-pass bf16) matmuls
+   256*(a@Mh) + b2@Mh + 256*(a@Ml), with M = Mh + Ml split into bf16 high
+   and residual parts, reach ~1e-5 relative accuracy at the MXU's native
+   bf16 rate — the same cycle count as a HIGHEST (6-pass) matmul on the
+   half-width mono frames, but with no downmix pass at all.
+
+The DFT matrix packs re|im for bins 0..255 into 512 columns (the hann
+window is folded in; re^2 and im^2 fold outside). The Nyquist bin is
+dropped entirely: the reference never accumulates power_spectrum[256]
+(av_rdft packing, reference src/frequency_sort.c:86-93).
 """
 
 from __future__ import annotations
@@ -21,107 +41,131 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bliss_tpu import constants as C
 from bliss_tpu import tables
-from bliss_tpu.dsp.intops import c_div
 
-FCHUNK = 128             # frames per grid step
-NBINS = C.WINDOW_SIZE // 2 + 1  # 257
-NPAD = 384               # bins padded to a lane multiple
+MAX_FCHUNK = 512         # frames per grid step (single chunk if NF fits)
+NBINS = C.WINDOW_SIZE // 2  # 256 computed bins (0..255; Nyquist dropped)
+FRAME = 2 * C.WINDOW_SIZE   # 1024 interleaved samples per window
 
 
 @functools.lru_cache(maxsize=None)
-def _windowed_dft() -> tuple[np.ndarray, np.ndarray]:
-    # zero_nyquist: the reference's accumulation never writes bin 256
-    # (src/frequency_sort.c:86-93), so the peak runs over bins 1..255.
-    dre, dim = tables.rdft_matrices(zero_nyquist=True)
+def _downmix_dft_split() -> tuple[np.ndarray, np.ndarray]:
+    """[1024, 512] duplicated-row hann-folded (re|im) DFT matrix, split into
+    (bf16 high, bf16 residual) parts."""
+    dre, dim = tables.rdft_matrices()
     h = tables.hann_window()[:, None]
-    re = np.zeros((C.WINDOW_SIZE, NPAD))
-    im = np.zeros((C.WINDOW_SIZE, NPAD))
-    re[:, :NBINS] = h * dre
-    im[:, :NBINS] = h * dim
-    return re, im
+    cat = np.concatenate([h * dre[:, :NBINS], h * dim[:, :NBINS]], axis=1)
+    m = np.repeat(cat / 2.0, 2, axis=0)  # [1024, 512]
+    import ml_dtypes
+
+    mh = m.astype(ml_dtypes.bfloat16)
+    ml = (m - mh.astype(np.float64)).astype(ml_dtypes.bfloat16)
+    return mh, ml
 
 
-def _kernel(nf_ref, x_ref, dre_ref, dim_ref, out_ref):
+def _kernel(nf_ref, x_ref, mh_ref, ml_ref, out_ref, *, fchunk):
     # nf_ref: SMEM [1, 1, 2] int32 (n_frames, unused)
-    # x_ref: VMEM [1, FCHUNK, 512] int16 mono frames
-    # dre/dim: VMEM [512, NPAD] float32 hann-folded DFT matrices
-    # out_ref: VMEM [1, 8, NPAD] float32 accumulator (row 0 used)
+    # x_ref: VMEM [1, FCHUNK, 1024] int16 interleaved stereo frames
+    # mh/ml: VMEM [1024, 512] bf16 downmix-DFT matrix (high/residual)
+    # out_ref: VMEM [1, 8, 512] float32 accumulator (row 0 used)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    frame_ix = j * FCHUNK + jax.lax.broadcasted_iota(
-        jnp.int32, (FCHUNK, 1), 0
+    # All integer arithmetic runs in f32 (exact well below 2^24) — int16 ->
+    # int32 conversion would pay an unpack relayout on the VPU.
+    xf = x_ref[0].astype(jnp.float32)  # [FCHUNK, 1024]
+    # c_div truncation correction: t = l + r at even lanes; mono_cdiv
+    # differs from t/2 by -sign(t)/2 when t is odd.
+    t = xf + pltpu.roll(xf, shift=FRAME - 1, axis=1)  # circular shift by -1
+    th = t * 0.5
+    odd = th != jnp.floor(th)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (fchunk, FRAME), 1)
+    odd_even = odd & (lane % 2 == 0)
+    eps2 = jnp.where(odd_even, jnp.where(t < 0.0, 1.0, -1.0), 0.0)
+
+    # exact split x = 256*a + b; fold 2*eps into b (stays within bf16 ints)
+    a = jnp.floor((xf + 128.0) * (1.0 / 256.0))
+    b2 = xf - a * 256.0 + eps2
+
+    frame_ix = j * fchunk + jax.lax.broadcasted_iota(
+        jnp.int32, (fchunk, 1), 0
     )
     mask = (frame_ix < nf_ref[0, 0, 0]).astype(jnp.float32)
-    x = x_ref[0].astype(jnp.float32) * mask  # [FCHUNK, 512]
-    hp = jax.lax.Precision.HIGHEST
-    re = jnp.dot(
-        x, dre_ref[:, :], preferred_element_type=jnp.float32, precision=hp
+    ab16 = (a * mask).astype(jnp.bfloat16)
+    bb16 = (b2 * mask).astype(jnp.bfloat16)
+
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
-    im = jnp.dot(
-        x, dim_ref[:, :], preferred_element_type=jnp.float32, precision=hp
-    )
-    partial = jnp.sum(re * re + im * im, axis=0)  # [NPAD]
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, NPAD), 0)
+    y = 256.0 * dot(ab16, mh_ref[:, :]) + dot(bb16, mh_ref[:, :]) + 256.0 * dot(
+        ab16, ml_ref[:, :]
+    )  # [FCHUNK, 512] f32: re in lanes 0..255, im in lanes 256..511
+
+    partial = jnp.sum(y * y, axis=0)  # [512]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * NBINS), 0)
     out_ref[0] = out_ref[0] + jnp.where(row == 0, partial, 0.0)
 
 
 @jax.jit
 def stft_power(samples, n_samples):
     """samples: int16 [B, L] interleaved stereo; returns [B, 257] float32
-    power spectra summed over the song's non-overlapping windows."""
+    power spectra summed over the song's non-overlapping windows (the
+    Nyquist column is zero — the reference never accumulates it)."""
     B, L = samples.shape
-    fr = samples.reshape(B, L // 2, 2).astype(jnp.int32)
-    mono = c_div(fr[..., 0] + fr[..., 1], 2).astype(jnp.int16)  # [B, L//2]
-
-    NF = L // (2 * C.WINDOW_SIZE)
-    mono = mono[:, : NF * C.WINDOW_SIZE]
+    NF = L // FRAME
+    x = samples[:, : NF * FRAME]
+    if NF <= MAX_FCHUNK:
+        FCHUNK = ((NF + 7) // 8) * 8  # single chunk, sublane-aligned
+    else:
+        FCHUNK = MAX_FCHUNK
     pad_f = (-NF) % FCHUNK
     if pad_f:
-        mono = jnp.pad(mono, ((0, 0), (0, pad_f * C.WINDOW_SIZE)))
+        x = jnp.pad(x, ((0, 0), (0, pad_f * FRAME)))
     NFP = NF + pad_f
     NC = NFP // FCHUNK
 
     n_frames = (n_samples // C.CHANNELS) // C.WINDOW_SIZE
     nf = jnp.stack([n_frames, n_frames], axis=1)[:, None, :]
 
-    re, im = _windowed_dft()
+    mh, ml = _downmix_dft_split()
+    kern = functools.partial(_kernel, fchunk=FCHUNK)
     out = pl.pallas_call(
-        _kernel,
+        kern,
         grid=(B, NC),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, FCHUNK, C.WINDOW_SIZE),
+                (1, FCHUNK, FRAME),
                 lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (C.WINDOW_SIZE, NPAD), lambda i, j: (0, 0),
+                (FRAME, 2 * NBINS), lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (C.WINDOW_SIZE, NPAD), lambda i, j: (0, 0),
+                (FRAME, 2 * NBINS), lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, NPAD), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, 2 * NBINS), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 8, NPAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 2 * NBINS), jnp.float32),
         interpret=jax.default_backend() == "cpu",
     )(
         nf,
-        mono.reshape(B, NFP, C.WINDOW_SIZE),
-        jnp.asarray(re, jnp.float32),
-        jnp.asarray(im, jnp.float32),
+        x.reshape(B, NFP, FRAME),
+        jnp.asarray(mh, jnp.bfloat16),
+        jnp.asarray(ml, jnp.bfloat16),
     )
-    return out[:, 0, :NBINS]
+    power = out[:, 0, :NBINS] + out[:, 0, NBINS:]  # re^2 + im^2, bins 0..255
+    return jnp.pad(power, ((0, 0), (0, 1)))  # Nyquist column = 0
 
 
 def frequency_scores_fused(batch, cfg):

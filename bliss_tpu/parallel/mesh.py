@@ -210,12 +210,17 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
                 left16,
             )
             x_ext = jnp.concatenate([s16, right], axis=1)
-            start_l = start - offset
-            end_l = jnp.minimum(end - offset, Ls - 1)
-            amp_part, energies_ext = fused_stats_call(
-                x_ext, start_l, end_l, alpha, beta, halo0=left16,
+            wsum, _, energies_ext = fused_stats_call(
+                x_ext, alpha, beta, halo0=left16,
                 interpret=jax.default_backend() == "cpu",
             )
+            # Unmasked per-block weight sums over THIS shard's own blocks
+            # (the ring-extension block and kernel padding are dropped),
+            # corrected by w(0)=1 per local sample outside the global trim.
+            lo_in = jnp.clip(start - offset, 0, Ls)
+            hi_in = jnp.clip(end + 1 - offset, 0, Ls)
+            inside = jnp.maximum(hi_in - lo_in, 0).astype(dtype)
+            amp_part = jnp.sum(wsum[:, :NBF_l], axis=1) - (Ls - inside)
             amp_dot = jax.lax.psum(amp_part, "seq")
             energy = energies_ext[:, :NBF_l]
 
