@@ -96,14 +96,14 @@ def _device_stage(batch: PCMBatch, cfg: AnalysisConfig):
         from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
 
         amplitude, fa = _fused_amp_and_energies(batch, cfg)
-        return amplitude, frequency_scores_fused(batch, cfg), fa[:, 0]
+        return amplitude, frequency_scores_fused(batch, cfg), fa
 
-    from bliss_tpu.features.tempo import envelope_energies
+    from bliss_tpu.features.tempo import band_energies
 
     return (
         amplitude_scores(batch, cfg),
         frequency_scores(batch, cfg),
-        envelope_energies(batch, cfg),
+        band_energies(batch, cfg),
     )
 
 

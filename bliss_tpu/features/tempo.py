@@ -158,12 +158,18 @@ def envelope_scores_from_energies(
     batch: PCMBatch, fa: jnp.ndarray, cfg: AnalysisConfig
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Envelope finish from precomputed band energies fa [B, NB, NBF]."""
+    return envelope_finish_device(fa, batch.n_samples, batch.durations, cfg)
+
+
+def envelope_finish_device(
+    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray, cfg: AnalysisConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device envelope finish: fa [B, NB, NBF], n/durations [B] ->
+    ([B] tempo, [B] attack) in float32. Shared by the single-device and
+    sharded (parallel/mesh.py) paths."""
     dtype = cfg.jnp_dtype
-    B, L = batch.samples.shape
-    n = batch.n_samples
-    NBF = L // C.TEMPO_HOP
+    B, NB, NBF = fa.shape
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP  # reference nb_frames
-    NB = fa.shape[1]
 
     # --- envelope: log-compress, upsample x2, low-pass, rectified diff -----
     mu = jnp.asarray(C.MU, dtype)
@@ -202,7 +208,7 @@ def envelope_scores_from_energies(
     ss_src = jnp.sum(wa, axis=1)
     beat = _count_beats(ss_src, wa_edges, last_excluded, j, n2, cfg)
 
-    dur = batch.durations.astype(dtype)
+    dur = durations.astype(dtype)
     tempo = (
         jnp.asarray(C.TEMPO_SCALE, dtype) * beat.astype(dtype) / dur
         + jnp.asarray(C.TEMPO_BIAS, dtype)
@@ -320,8 +326,21 @@ def _count_beats(ss_src, wa, last_excluded, j, n2, cfg):
     return jnp.sum(peaks, axis=1).astype(jnp.int32)
 
 
+def _box_sum_host(x, width):
+    """Centered zero-padded box sums along the last axis, vectorized over
+    leading axes (scipy lfilter FIR — no per-row Python loop)."""
+    import numpy as np
+    from scipy.signal import lfilter
+
+    half = width // 2
+    xp = np.concatenate([x, np.zeros(x.shape[:-1] + (half,))], axis=-1)
+    c = lfilter(np.ones(width), [1.0], xp, axis=-1)
+    return c[..., half:]
+
+
 def envelope_finish_host(fa, n_samples, durations):
-    """Host float64 finish of the tempo path: fa [B, NBF] -> (tempo, attack).
+    """Host float64 finish of the tempo path: fa [B, NBF] (or [B, NB, NBF]
+    multi-band) -> (tempo, attack).
 
     The envelope post-processing is ~0.01% of the analyzer's FLOPs but the
     reference's epsilon-peak detection (eps=1e-6 on O(10..100) envelope
@@ -329,45 +348,47 @@ def envelope_finish_host(fa, n_samples, durations):
     beyond float32. Since the TPU backend has no float64, the hybrid
     pipeline runs this tiny sequential stage on the host in NumPy/SciPy,
     giving exact beat-count parity while the heavy stages stay on device.
+    All stages are vectorized over the batch (one scipy call each).
     """
     import numpy as np
     from scipy.signal import lfilter
 
     fa = np.asarray(fa, np.float64)
+    if fa.ndim == 2:
+        fa = fa[:, None, :]
     n = np.asarray(n_samples, np.int64)
     dur = np.asarray(durations, np.float64)
-    B, NBF = fa.shape
+    B, NB, NBF = fa.shape
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP
     n2 = 2 * nbf  # [B]
 
-    u = np.zeros((B, 2 * NBF))
-    u[:, 0::2] = np.log(1.0 + C.MU * fa) / np.log(1.0 + C.MU)
-    lp = lfilter(C.BUTTER_B, C.BUTTER_A, u, axis=1)
+    u = np.zeros((B, NB, 2 * NBF))
+    u[..., 0::2] = np.log(1.0 + C.MU * fa) / np.log(1.0 + C.MU)
+    lp = lfilter(C.BUTTER_B, C.BUTTER_A, u, axis=-1)
     diff = np.concatenate(
-        [lp[:, :1], np.maximum(lp[:, 1:] - lp[:, :-1], 0.0)], axis=1
+        [lp[..., :1], np.maximum(lp[..., 1:] - lp[..., :-1], 0.0)], axis=-1
     )
-    wa = C.ENV_LP_WEIGHT * lp + C.ENV_DIFF_WEIGHT * diff / 10.0
+    wa = C.ENV_LP_WEIGHT * lp + C.ENV_DIFF_WEIGHT * diff / 10.0  # [B, NB, 2NBF]
 
     j = np.arange(2 * NBF)[None, :]
     last_excluded = j <= (n2 - 2)[:, None]
-    atk_sum = np.sum(wa * last_excluded, axis=1)
+    atk_sum = np.sum(wa * last_excluded[:, None, :], axis=(1, 2))
 
-    ss = wa * last_excluded
-    kern = np.ones(C.RECT_FILTER_WIDTH)
+    # Band-summed envelope; the pass-1 edge slots keep the stale values of
+    # the output buffer (band 0's envelope in the reference's 1-band build,
+    # generalized to the band sum — see _count_beats).
+    wa_edges = wa[:, 0] if NB == 1 else np.sum(wa, axis=1)
+    ss = np.sum(wa, axis=1) * last_excluded
     width = C.RECT_FILTER_WIDTH
     half = width // 2
-    pad = np.pad(ss, ((0, 0), (half, half)))
-    box1 = np.stack(
-        [np.convolve(pad[b], kern, mode="valid") for b in range(B)]
-    )
+    box1 = _box_sum_host(ss, width)
     n2c = n2[:, None]
     edge = (j <= half - 1) | (j >= n2c - half)
-    r1 = np.where(edge, wa, np.where(j == n2c - half - 1, wa + box1, box1))
-    r1 = r1 / width
-    pad = np.pad(r1, ((0, 0), (half, half)))
-    box2 = np.stack(
-        [np.convolve(pad[b], kern, mode="valid") for b in range(B)]
+    r1 = np.where(
+        edge, wa_edges, np.where(j == n2c - half - 1, wa_edges + box1, box1)
     )
+    r1 = r1 / width
+    box2 = _box_sum_host(r1, width)
     mid = (j >= half) & (j <= n2c - half - 1)
     r2 = np.where(mid, box2 / width, 0.0)
 

@@ -90,12 +90,24 @@ def analyze_sharded(
         s = jnp.concatenate([s, dummy], axis=0)
         n = jnp.concatenate([n, jnp.full((pad_b,), 2048, n.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad_b,), d.dtype)])
-    if cfg.nb_bands != 1:
-        raise NotImplementedError(
-            "sharded analysis currently implements the 1-band (parity) "
-            "tempo front-end"
-        )
     fn = _build_sharded_fn(mesh, cfg)
+    if cfg.tempo_finish == "host":
+        # Hybrid: the all-gathered per-window energies come back to the host
+        # and the tiny envelope stage finishes in float64 (exact beat-count
+        # parity on float32 meshes, same as analyze_batch_hybrid).
+        amp, freq, fa = fn(s, n, d)
+        tempo, attack = tempo_mod.envelope_finish_host(
+            np.asarray(fa)[:B], np.asarray(n)[:B], np.asarray(d)[:B]
+        )
+        return jnp.stack(
+            [
+                jnp.asarray(tempo),
+                jnp.asarray(amp)[:B],
+                jnp.asarray(freq)[:B],
+                jnp.asarray(attack),
+            ],
+            axis=1,
+        )
     return fn(s, n, d)[:B]
 
 
@@ -186,7 +198,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             )
         inv = jnp.asarray(1.0 / (1 << 15), dtype)
         hop = C.TEMPO_HOP
-        K = C.NB_FIR_COEFFS - 1
+        K = cfg.band_taps - 1
         fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
         bwd = [(i, (i - 1) % n_seq) for i in range(n_seq)]
         NBF_l = Ls // hop
@@ -222,7 +234,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             inside = jnp.maximum(hi_in - lo_in, 0).astype(dtype)
             amp_part = jnp.sum(wsum[:, :NBF_l], axis=1) - (Ls - inside)
             amp_dot = jax.lax.psum(amp_part, "seq")
-            energy = energies_ext[:, :NBF_l]
+            energy = energies_ext[:, None, :NBF_l]  # [Bl, 1, NBF_l]
 
         if not use_fused:
             norm = (s.astype(dtype) * inv - mean[:, None].astype(dtype) * inv) / (
@@ -241,31 +253,43 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             halo_prev = jnp.where(seq_ix == 0, jnp.zeros_like(halo_prev), halo_prev)
             xp = jnp.concatenate([halo_prev, norm], axis=1)  # [Bl, Ls + K]
 
-            coeffs = tables.bandpass_filterbank(1, C.NB_FIR_COEFFS)[0]
-            z = jnp.zeros_like(norm)
-            for m in range(C.NB_FIR_COEFFS):
-                z = z + jnp.asarray(coeffs[m], dtype) * xp[:, K - m : K - m + Ls]
+            fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps)
+            bands = []
+            for b in range(fb.shape[0]):
+                zb_ = jnp.zeros_like(norm)
+                for m in range(cfg.band_taps):
+                    zb_ = zb_ + jnp.asarray(fb[b, m], dtype) * xp[
+                        :, K - m : K - m + Ls
+                    ]
+                bands.append(zb_)
+            z = jnp.stack(bands, axis=1)  # [Bl, NB, Ls]
+            NB = z.shape[1]
 
             alt = jnp.asarray(tables.parseval_alt_sign()[:hop], dtype)
-            zb = z.reshape(Bl, NBF_l, hop)
-            S1 = jnp.sum(zb, axis=-1)
+            zb = z.reshape(Bl, NB, NBF_l, hop)
+            S1 = jnp.sum(zb, axis=-1)  # [Bl, NB, NBF_l]
             S2 = jnp.sum(zb * zb, axis=-1)
             SA = jnp.sum(zb * alt, axis=-1)
 
             hist = xp[:, :Ls].reshape(Bl, NBF_l, hop)[:, :, :K]
             zh = zb[..., :K]
-            Mw = jnp.asarray(tables.fir_warmup_correction()[0], dtype)
-            delta = jnp.einsum("bwk,jk->bwj", hist, Mw)
+            Mw = jnp.asarray(
+                tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps),
+                dtype,
+            )
+            delta = jnp.einsum("bwk,njk->bnwj", hist, Mw)
             d1 = jnp.sum(delta, axis=-1)
             d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
             da = jnp.sum(delta * alt[:K], axis=-1)
 
             # right neighbor's first-block sums complete this shard's last window
-            S_first = jnp.stack([S1[:, 0], S2[:, 0], SA[:, 0]], axis=-1)
+            S_first = jnp.stack(
+                [S1[:, :, 0], S2[:, :, 0], SA[:, :, 0]], axis=-1
+            )  # [Bl, NB, 3]
             S_next = jax.lax.ppermute(S_first, "seq", bwd)
-            S1n = jnp.concatenate([S1[:, 1:], S_next[:, 0:1]], axis=1)
-            S2n = jnp.concatenate([S2[:, 1:], S_next[:, 1:2]], axis=1)
-            SAn = jnp.concatenate([SA[:, 1:], S_next[:, 2:3]], axis=1)
+            S1n = jnp.concatenate([S1[:, :, 1:], S_next[..., 0:1]], axis=2)
+            S2n = jnp.concatenate([S2[:, :, 1:], S_next[..., 1:2]], axis=2)
+            SAn = jnp.concatenate([SA[:, :, 1:], S_next[..., 2:3]], axis=2)
 
             sum_y2 = S2 + S2n + d2
             sum_y = S1 + S1n + d1
@@ -276,7 +300,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         n_windows = -((-(trunc_n - W)) // hop)
         gwin = seq_ix * NBF_l + jnp.arange(NBF_l, dtype=jnp.int32)
         wmask = gwin[None, :] < n_windows[:, None]
-        energy = energy * wmask.astype(dtype)
+        energy = energy * wmask[:, None, :].astype(dtype)
 
         span = (end - start).astype(dtype)
         integral = (
@@ -287,49 +311,24 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             + jnp.float32(C.AMPLITUDE_BIAS)
         )
 
-        fa = jax.lax.all_gather(energy, "seq", axis=1, tiled=True)  # [Bl, L//hop]
+        # [Bl, NB, L//hop]: every device holds its songs' full energy rows
+        fa = jax.lax.all_gather(energy, "seq", axis=2, tiled=True)
 
-        NBF = L // hop
-        nbf = trunc_n // hop
-        mu = jnp.asarray(C.MU, dtype)
-        comp = jnp.log(1.0 + mu * fa) / jnp.log(1.0 + mu)
-        u = jnp.stack([comp, jnp.zeros_like(comp)], axis=-1).reshape(Bl, 2 * NBF)
-        from bliss_tpu.dsp.iir import lfilter_blocked, lfilter_scan
+        if cfg.tempo_finish == "host":
+            return amplitude, frequency, fa
 
-        if cfg.iir_mode == "blocked":
-            lp = lfilter_blocked(u, block=cfg.iir_block)
-        else:
-            lp = lfilter_scan(C.BUTTER_B, C.BUTTER_A, u)
-        diff = jnp.concatenate(
-            [lp[:, :1], jnp.maximum(lp[:, 1:] - lp[:, :-1], 0.0)], axis=1
-        )
-        wa = (
-            jnp.asarray(C.ENV_LP_WEIGHT, dtype) * lp
-            + jnp.asarray(C.ENV_DIFF_WEIGHT, dtype) * diff / 10.0
-        )
-        n2 = 2 * nbf
-        j = jnp.arange(2 * NBF, dtype=jnp.int32)[None, :]
-        last_excluded = j <= (n2 - 2)[:, None]
-        atk_sum = jnp.sum(wa * last_excluded.astype(dtype), axis=1)
-        beat = tempo_mod._count_beats(wa, wa, last_excluded, j, n2, cfg)
-
-        tempo = (
-            jnp.asarray(C.TEMPO_SCALE, dtype) * beat.astype(dtype)
-            / dur.astype(dtype)
-            + jnp.asarray(C.TEMPO_BIAS, dtype)
-        ).astype(jnp.float32)
-        attack = (
-            jnp.asarray(C.ATTACK_SCALE, dtype) * atk_sum / n.astype(dtype)
-            + jnp.asarray(C.ATTACK_BIAS, dtype)
-        ).astype(jnp.float32)
-
+        tempo, attack = tempo_mod.envelope_finish_device(fa, n, dur, cfg)
         return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
 
+    if cfg.tempo_finish == "host":
+        out_specs = (P("data"), P("data"), P("data", None, None))
+    else:
+        out_specs = P("data", None)
     mapped = _shard_map_unchecked(
         local_fn,
         mesh=mesh,
         in_specs=(P("data", "seq"), P("data"), P("data")),
-        out_specs=P("data", None),
+        out_specs=out_specs,
     )
     return jax.jit(mapped)
 

@@ -55,6 +55,45 @@ def test_shard_batch_placement(batch):
     np.testing.assert_allclose(sharded, single, atol=2e-6)
 
 
+def test_sharded_hybrid_matches_single_device_hybrid(batch):
+    """tempo_finish='host' on the mesh: the all-gathered energies finish on
+    the host in float64, so beat counts match the single-device hybrid path
+    exactly (the guarantee a real float32 mesh needs)."""
+    from bliss_tpu.features.analyze import analyze_batch_hybrid
+
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", tempo_finish="host"
+    )
+    mesh = analysis_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = np.asarray(analyze_sharded(batch, mesh, cfg))
+    single = np.asarray(analyze_batch_hybrid(batch, cfg))
+    np.testing.assert_array_equal(sharded[:, 0], single[:, 0])  # exact beats
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_sharded_multiband_matches_single_device(batch, shape):
+    """nb_bands=5 (the extended Klapuri front-end) under sequence sharding:
+    per-band halo exchanges + gathered [B, NB, NBF] energies."""
+    cfg = AnalysisConfig(dtype="float64", nb_bands=5)
+    mesh = analysis_mesh(*shape)
+    sharded = np.asarray(analyze_sharded(batch, mesh, cfg))
+    single = np.asarray(analyze_batch_jit(batch, cfg))
+    np.testing.assert_allclose(sharded, single, atol=2e-6)
+
+
+def test_sharded_multiband_hybrid(batch):
+    """Multi-band + host finish together on the mesh."""
+    from bliss_tpu.features.analyze import analyze_batch_hybrid
+
+    cfg = AnalysisConfig(dtype="float32", nb_bands=5, tempo_finish="host")
+    mesh = analysis_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = np.asarray(analyze_sharded(batch, mesh, cfg))
+    single = np.asarray(analyze_batch_hybrid(batch, cfg))
+    np.testing.assert_array_equal(sharded[:, 0], single[:, 0])
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
 def test_sharded_distance_topk_matches_dense():
     rng = np.random.RandomState(9)
     f = jnp.asarray(rng.randn(37, 4) * 3)
