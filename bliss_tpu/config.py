@@ -70,6 +70,30 @@ class AnalysisConfig:
     nb_bands: int = 1
     band_taps: int = 17
 
+    # Multi-band filterbank design: "firwin" designs a fresh log-spaced
+    # scipy filterbank for any nb_bands; "reference5" / "reference36" select
+    # the reference author's own commented-out 5x17 full-spectrum / 36x33
+    # fine filterbanks (reference: include/bandpass_coeffs.h:9-49, :51-482)
+    # — the only external ground truth for multi-band mode. Setting one of
+    # them fills nb_bands/band_taps automatically.
+    filterbank: str = "firwin"
+
+    def __post_init__(self):
+        shapes = {"reference5": (5, 17), "reference36": (36, 33)}
+        if self.filterbank in shapes:
+            nb, taps = shapes[self.filterbank]
+            if (self.nb_bands, self.band_taps) == (1, 17):
+                object.__setattr__(self, "nb_bands", nb)
+                object.__setattr__(self, "band_taps", taps)
+            elif (self.nb_bands, self.band_taps) != (nb, taps):
+                raise ValueError(
+                    f"filterbank={self.filterbank!r} is a fixed "
+                    f"{nb}x{taps} design; leave nb_bands/band_taps at their "
+                    "defaults or set them to match"
+                )
+        elif self.filterbank != "firwin":
+            raise ValueError(f"unknown filterbank {self.filterbank!r}")
+
     # Sequence padding multiple for batched analysis. Must be a multiple of
     # 1024 (stereo frequency frames of 512 per channel).
     pad_multiple: int = 1024

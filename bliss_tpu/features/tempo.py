@@ -53,7 +53,7 @@ def band_energies(batch: PCMBatch, cfg: AnalysisConfig) -> jnp.ndarray:
     n = batch.n_samples
 
     norm = _normalize_signal(s, n, cfg)  # [B, L], zero beyond n
-    fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps)
+    fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps, cfg.filterbank)
 
     if cfg.tempo_energy_mode == "parseval":
         energy = _window_energy_blocked(norm, fb, cfg)  # [B, NB, NW]
@@ -133,7 +133,7 @@ def _window_energy_blocked(norm: jnp.ndarray, fb, cfg: AnalysisConfig):
     hist = jnp.pad(norm, ((0, 0), (K, 0)))[:, :L].reshape(B, NBF, hop)[:, :, :K]
     zh = zb[..., :K]
     M = jnp.asarray(
-        tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps), dtype
+        tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps, cfg.filterbank), dtype
     )
     delta = jnp.einsum("bwk,njk->bnwj", hist, M)
     altK = alt[:K]

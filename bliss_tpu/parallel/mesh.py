@@ -253,7 +253,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             halo_prev = jnp.where(seq_ix == 0, jnp.zeros_like(halo_prev), halo_prev)
             xp = jnp.concatenate([halo_prev, norm], axis=1)  # [Bl, Ls + K]
 
-            fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps)
+            fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps, cfg.filterbank)
             bands = []
             for b in range(fb.shape[0]):
                 zb_ = jnp.zeros_like(norm)
@@ -274,7 +274,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             hist = xp[:, :Ls].reshape(Bl, NBF_l, hop)[:, :, :K]
             zh = zb[..., :K]
             Mw = jnp.asarray(
-                tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps),
+                tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps, cfg.filterbank),
                 dtype,
             )
             delta = jnp.einsum("bwk,njk->bnwj", hist, Mw)

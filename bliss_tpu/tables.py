@@ -130,18 +130,35 @@ def rdft_matrices(zero_nyquist: bool = False) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def bandpass_filterbank(nb_bands: int = 1, taps: int = 17) -> np.ndarray:
+def bandpass_filterbank(
+    nb_bands: int = 1, taps: int = 17, kind: str = "firwin"
+) -> np.ndarray:
     """[nb_bands, taps] FIR bandpass filterbank for the tempo analyzer.
 
     nb_bands=1, taps=17 is the reference's published single band
-    (constants.FIR_BANDPASS — parity mode). For nb_bands > 1 this designs a
-    fresh log-spaced filterbank with scipy.signal.firwin, realizing the
-    multi-band Klapuri front-end the reference's comments describe cutting
-    to one band "for CPU-consumption reasons"
+    (constants.FIR_BANDPASS — parity mode). For nb_bands > 1,
+    kind="firwin" designs a fresh log-spaced filterbank with
+    scipy.signal.firwin, while kind="reference5"/"reference36" return the
+    reference author's own commented-out filterbanks
+    (constants_filterbanks, from reference include/bandpass_coeffs.h) —
+    realizing the multi-band Klapuri front-end the reference's comments
+    describe cutting to one band "for CPU-consumption reasons"
     (reference: src/tempo_atk_sort.c:13-14) — affordable on TPU.
     """
     from bliss_tpu import constants as C
 
+    if kind != "firwin":
+        from bliss_tpu import constants_filterbanks as FB
+
+        table = {"reference5": FB.REFERENCE5, "reference36": FB.REFERENCE36}[
+            kind
+        ]
+        if table.shape != (nb_bands, taps):
+            raise ValueError(
+                f"filterbank {kind!r} is {table.shape}, not "
+                f"({nb_bands}, {taps})"
+            )
+        return table
     if nb_bands == 1 and taps == 17:
         return C.FIR_BANDPASS[None, :]
     from scipy.signal import firwin
@@ -156,7 +173,9 @@ def bandpass_filterbank(nb_bands: int = 1, taps: int = 17) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def fir_warmup_correction(nb_bands: int = 1, taps: int = 17) -> np.ndarray:
+def fir_warmup_correction(
+    nb_bands: int = 1, taps: int = 17, kind: str = "firwin"
+) -> np.ndarray:
     """[nb_bands, taps-1, taps-1] matrices M with delta = M @ history.
 
     The tempo analyzer resets its FIR state at every 512-sample window
@@ -169,7 +188,7 @@ def fir_warmup_correction(nb_bands: int = 1, taps: int = 17) -> np.ndarray:
     this is what lets the energy computation run blockwise without
     materializing the 2x-overlapped window tensor.
     """
-    fb = bandpass_filterbank(nb_bands, taps)
+    fb = bandpass_filterbank(nb_bands, taps, kind)
     K = taps - 1
     M = np.zeros((nb_bands, K, K))
     for b in range(nb_bands):

@@ -89,3 +89,81 @@ def test_multiband_blocked_vs_framed(batch):
     tf, af = (np.asarray(x) for x in envelope_scores(batch, cfg_f))
     np.testing.assert_allclose(tb, tf, atol=1e-9)
     np.testing.assert_allclose(ab, af, atol=1e-9)
+
+
+# ---- reference filterbanks (the author's own multi-band designs) ----------
+
+
+def _multiband_energy_oracle(samples, fb):
+    """Literal NumPy oracle: per-window zero-state FIR per band + rfft power
+    sum over the normalized signal (the straightforward reading of
+    reference src/tempo_atk_sort.c:117-154 generalized to NB bands)."""
+    from scipy.signal import lfilter
+    from oracle import c_trunc_div
+
+    n = samples.shape[0]
+    s = samples.astype(np.int64)
+    mean = c_trunc_div(int(s.sum()), n)
+    var = c_trunc_div(int(((s - mean) ** 2).sum()), n)
+    normalized = (s / 32768.0 - mean / 32768.0) / (var / 32768.0 / 32768.0)
+
+    W, half = 512, 256
+    trunc_n = n - n % W
+    n_windows = -(-(trunc_n - W) // half)
+    out = np.zeros((fb.shape[0], n_windows))
+    for w in range(n_windows):
+        win = normalized[w * half : w * half + W]
+        for b in range(fb.shape[0]):
+            X = np.fft.rfft(lfilter(fb[b], [1.0], win))
+            out[b, w] = np.sum(X.real**2 + X.imag**2)
+    return out
+
+
+def test_reference5_band_energies_match_oracle():
+    from bliss_tpu.constants_filterbanks import REFERENCE5
+
+    rng = np.random.RandomState(33)
+    samples = np.asarray(synth_pcm(rng, 30_000))
+    cfg = AnalysisConfig(dtype="float64", filterbank="reference5")
+    assert (cfg.nb_bands, cfg.band_taps) == (5, 17)  # autofilled
+    b = PCMBatch.from_arrays([samples], [2])
+    fa = np.asarray(band_energies(b, cfg))[0]  # [5, NBF]
+    oracle = _multiband_energy_oracle(samples, REFERENCE5)
+    nw = oracle.shape[1]
+    np.testing.assert_allclose(fa[:, :nw], oracle, rtol=1e-9, atol=1e-9)
+    assert np.all(fa[:, nw:] == 0.0)
+
+
+def test_reference36_band_energies_match_oracle():
+    from bliss_tpu.constants_filterbanks import REFERENCE36
+
+    rng = np.random.RandomState(34)
+    samples = np.asarray(synth_pcm(rng, 12_000))
+    cfg = AnalysisConfig(dtype="float64", filterbank="reference36")
+    assert (cfg.nb_bands, cfg.band_taps) == (36, 33)
+    b = PCMBatch.from_arrays([samples], [1])
+    fa = np.asarray(band_energies(b, cfg))[0]
+    oracle = _multiband_energy_oracle(samples, REFERENCE36)
+    nw = oracle.shape[1]
+    np.testing.assert_allclose(fa[:, :nw], oracle, rtol=1e-9, atol=1e-9)
+
+
+def test_filterbank_config_validation():
+    with pytest.raises(ValueError):
+        AnalysisConfig(filterbank="reference5", nb_bands=3)
+    with pytest.raises(ValueError):
+        AnalysisConfig(filterbank="nope")
+
+
+def test_reference5_full_scores_blocked_vs_framed(batch):
+    """End-to-end multi-band scores: blocked Parseval == framed FFT."""
+    from bliss_tpu.features import analyze_batch_jit
+
+    cfg_b = AnalysisConfig(dtype="float64", filterbank="reference5")
+    cfg_f = AnalysisConfig(
+        dtype="float64", filterbank="reference5",
+        tempo_energy_mode="parseval_framed",
+    )
+    fb = np.asarray(analyze_batch_jit(batch, cfg_b))
+    ff = np.asarray(analyze_batch_jit(batch, cfg_f))
+    np.testing.assert_allclose(fb, ff, atol=1e-6)
