@@ -92,7 +92,7 @@ def cmd_distance(args) -> int:
 
 def cmd_ml_analyze(args) -> int:
     from bliss_tpu.pipeline import analyze_library
-    from bliss_tpu.io import decode
+    from bliss_tpu.io import probe
 
     files = _collect_audio_files(args.files)
     result = analyze_library(files, batch_size=args.batch_size)
@@ -104,7 +104,8 @@ def cmd_ml_analyze(args) -> int:
             title = os.path.splitext(os.path.basename(f))[0]
             if args.tags:
                 try:
-                    title = decode(f).title
+                    # metadata-only probe: no second PCM decode per song
+                    title = probe(f).title
                 except Exception:  # noqa: BLE001
                     pass
             t, a, fr, k = result.features[i]

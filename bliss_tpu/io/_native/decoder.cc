@@ -140,6 +140,18 @@ typedef struct {
   char* error;  // nullptr on success
 } bt_decoded;
 
+// Tag surface mirrors the reference defaults (reference: src/decode.c:261-309).
+static void fill_tags(AVFormatContext* fmt, bt_decoded* out) {
+  AVDictionary* meta = fmt->metadata;
+  std::string track = get_tag(meta, "track", "");
+  track = track.substr(0, track.find('/'));
+  out->tracknumber = dup_cstr(track);
+  out->title = dup_cstr(get_tag(meta, "title", "<no title>"));
+  out->artist = dup_cstr(get_tag(meta, "artist", "<no artist>"));
+  out->album = dup_cstr(get_tag(meta, "album", "<no album>"));
+  out->genre = dup_cstr(get_tag(meta, "genre", "<no genre>"));
+}
+
 int bt_decode(const char* filename, bt_decoded* out) {
   std::memset(out, 0, sizeof(*out));
   DecodeState st;
@@ -265,17 +277,51 @@ int bt_decode(const char* filename, bt_decoded* out) {
                       ? static_cast<uint64_t>(fmt.p->duration) /
                             static_cast<uint64_t>(AV_TIME_BASE)
                       : 0;
+  fill_tags(fmt.p, out);
+  out->error = nullptr;
+  return 0;
+}
 
-  // Tag surface mirrors the reference defaults
-  // (reference: src/decode.c:261-309).
-  AVDictionary* meta = fmt.p->metadata;
-  std::string track = get_tag(meta, "track", "");
-  track = track.substr(0, track.find('/'));
-  out->tracknumber = dup_cstr(track);
-  out->title = dup_cstr(get_tag(meta, "title", "<no title>"));
-  out->artist = dup_cstr(get_tag(meta, "artist", "<no artist>"));
-  out->album = dup_cstr(get_tag(meta, "album", "<no album>"));
-  out->genre = dup_cstr(get_tag(meta, "genre", "<no genre>"));
+// Metadata-only probe: container open + stream info + tags, NO packet
+// decode. Used by library scans and tag lookups where the PCM is not needed
+// (a full decode is ~100x the cost). samples stays null / n_samples 0; the
+// audio properties describe the SOURCE stream (pre-canonicalization), with
+// `resampled` flagging whether a decode would go through swresample.
+int bt_probe(const char* filename, bt_decoded* out) {
+  std::memset(out, 0, sizeof(*out));
+  av_log_set_level(AV_LOG_QUIET);
+
+  FormatCtx fmt;
+  if (avformat_open_input(&fmt.p, filename, nullptr, nullptr) < 0) {
+    out->error = dup_cstr(std::string("could not open file: ") + filename);
+    return -1;
+  }
+  if (avformat_find_stream_info(fmt.p, nullptr) < 0) {
+    out->error = dup_cstr("could not find stream info");
+    return -1;
+  }
+  int stream_idx =
+      av_find_best_stream(fmt.p, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+  if (stream_idx < 0) {
+    out->error = dup_cstr("no audio stream found");
+    return -1;
+  }
+  AVCodecParameters* par = fmt.p->streams[stream_idx]->codecpar;
+  out->channels = par->ch_layout.nb_channels;
+  out->sample_rate = par->sample_rate;
+  out->nb_bytes_per_sample = av_get_bytes_per_sample(
+      static_cast<AVSampleFormat>(par->format));
+  out->resampled = (par->format != AV_SAMPLE_FMT_S16 ||
+                    par->sample_rate != kTargetRate ||
+                    par->ch_layout.nb_channels != kTargetChannels)
+                       ? 1
+                       : 0;
+  out->bitrate = static_cast<int32_t>(fmt.p->bit_rate);
+  out->duration = fmt.p->duration > 0
+                      ? static_cast<uint64_t>(fmt.p->duration) /
+                            static_cast<uint64_t>(AV_TIME_BASE)
+                      : 0;
+  fill_tags(fmt.p, out);
   out->error = nullptr;
   return 0;
 }

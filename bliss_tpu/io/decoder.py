@@ -89,15 +89,19 @@ class _BtDecoded(ctypes.Structure):
 
 
 def _ensure_built() -> str:
-    """Build the native library on first use if it is missing."""
-    if not os.path.exists(_LIB_PATH):
+    """Build the native library on first use if missing or stale."""
+    src = os.path.join(_NATIVE_DIR, "decoder.cc")
+    stale = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
         with _build_lock:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
-                )
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+            )
     return _LIB_PATH
 
 
@@ -107,6 +111,8 @@ def _load_lib():
         lib = ctypes.CDLL(_ensure_built())
         lib.bt_decode.argtypes = [ctypes.c_char_p, ctypes.POINTER(_BtDecoded)]
         lib.bt_decode.restype = ctypes.c_int
+        lib.bt_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_BtDecoded)]
+        lib.bt_probe.restype = ctypes.c_int
         lib.bt_free_decoded.argtypes = [ctypes.POINTER(_BtDecoded)]
         lib.bt_free_decoded.restype = None
         lib.bt_version.restype = ctypes.c_char_p
@@ -131,6 +137,57 @@ def decode(filename: str | os.PathLike) -> DecodedAudio:
         samples = np.ctypeslib.as_array(out.samples, shape=(n,)).copy()
         return DecodedAudio(
             samples=samples,
+            channels=int(out.channels),
+            sample_rate=int(out.sample_rate),
+            bitrate=int(out.bitrate),
+            nb_bytes_per_sample=int(out.nb_bytes_per_sample),
+            resampled=int(out.resampled),
+            duration=int(out.duration),
+            filename=filename,
+            artist=_decode_str(out.artist),
+            title=_decode_str(out.title),
+            album=_decode_str(out.album),
+            tracknumber=_decode_str(out.tracknumber),
+            genre=_decode_str(out.genre),
+        )
+    finally:
+        lib.bt_free_decoded(ctypes.byref(out))
+
+
+@dataclasses.dataclass
+class AudioProbe:
+    """Container metadata without decoded PCM (the cheap half of decode).
+
+    Audio properties describe the SOURCE stream; ``resampled`` flags whether
+    a full decode would canonicalize it. The reference has no probe — its
+    only way to read a tag is a full ``bl_audio_decode``
+    (reference: src/decode.c:261-309); here tag lookups and library scans
+    use this ~100x cheaper path."""
+
+    channels: int
+    sample_rate: int
+    bitrate: int
+    nb_bytes_per_sample: int
+    resampled: int
+    duration: int
+    filename: str
+    artist: str
+    title: str
+    album: str
+    tracknumber: str
+    genre: str
+
+
+def probe(filename: str | os.PathLike) -> AudioProbe:
+    """Read tags + audio properties WITHOUT decoding any PCM."""
+    filename = os.fspath(filename)
+    lib = _load_lib()
+    out = _BtDecoded()
+    rc = lib.bt_probe(filename.encode("utf-8"), ctypes.byref(out))
+    try:
+        if rc != 0:
+            raise DecodeError(_decode_str(out.error) or f"probe failed: {filename}")
+        return AudioProbe(
             channels=int(out.channels),
             sample_rate=int(out.sample_rate),
             bitrate=int(out.bitrate),

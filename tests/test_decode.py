@@ -192,3 +192,50 @@ def test_mono_s16_native_rate_upmixes(tmp_path):
     fr = d.as_frames()
     assert fr.shape[0] == mono.shape[0]
     assert np.array_equal(fr[:, 0], fr[:, 1])
+
+
+# ---- metadata-only probe ---------------------------------------------------
+
+
+def test_probe_tags_match_decode(fixture_dir):
+    """bt_probe reads the same tag surface as a full decode, without PCM."""
+    from bliss_tpu.io import probe
+
+    for f in [os.path.join(fixture_dir, n) for n in sorted(EXPECT)]:
+        p = probe(f)
+        d = decode(f)
+        assert (p.title, p.artist, p.album, p.genre, p.tracknumber) == (
+            d.title, d.artist, d.album, d.genre, d.tracknumber,
+        )
+        assert p.duration == d.duration
+        assert p.bitrate == d.bitrate
+
+
+def test_probe_is_much_cheaper_than_decode():
+    import time
+
+    from bliss_tpu.io import probe
+
+    f = "/root/reference/audio/song_s32.flac"
+    probe(f)
+    decode(f)  # warm the page cache + lib
+    t0 = time.time()
+    for _ in range(20):
+        probe(f)
+    tp = (time.time() - t0) / 20
+    t0 = time.time()
+    for _ in range(3):
+        decode(f)
+    td = (time.time() - t0) / 3
+    # measured ~50x on this fixture; assert a conservative bound so the
+    # 1-core CI host can't flake
+    assert td / tp > 8, (tp, td)
+
+
+def test_probe_bad_file_raises(tmp_path):
+    from bliss_tpu.io import DecodeError, probe
+
+    bad = tmp_path / "not_audio.flac"
+    bad.write_bytes(b"this is not a flac file")
+    with pytest.raises(DecodeError):
+        probe(str(bad))
