@@ -107,6 +107,16 @@ def _device_stage(batch: PCMBatch, cfg: AnalysisConfig):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _device_stage_ext(batch: PCMBatch, cfg: AnalysisConfig):
+    """Hybrid device stage + extended ROADMAP features in ONE jitted
+    program, sharing a single band-energy pass (the FLOP-heavy stage)."""
+    from bliss_tpu.features.extended import extended_features
+
+    amplitude, frequency, fa = _device_stage(batch, cfg)
+    return amplitude, frequency, fa, extended_features(batch, cfg, fa=fa)
+
+
 def analyze_batch_hybrid(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT):
     """[B, 4] float32 force vectors with the tempo envelope finished on the
     host in float64 (exact beat-count parity on float32-only backends)."""

@@ -32,6 +32,7 @@ from bliss_tpu.features.types import PCMBatch
 
 N_MELS = 40
 N_MFCC = 13
+N_CHROMA = 12
 
 EXTENDED_FEATURE_NAMES = (
     "zero_crossing_rate",
@@ -39,9 +40,11 @@ EXTENDED_FEATURE_NAMES = (
     "spectral_centroid_hz",
     "spectral_rolloff_hz",
     "spectral_flatness",
+    "bpm",
+    "beat_loudness",
 ) + tuple(f"mfcc_{i}" for i in range(N_MFCC)) + tuple(
     f"mfcc_std_{i}" for i in range(N_MFCC)
-)
+) + tuple(f"chroma_{i:02d}" for i in range(N_CHROMA))
 
 
 @functools.lru_cache(maxsize=None)
@@ -69,6 +72,21 @@ def mel_filterbank(n_mels: int = N_MELS) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def chroma_matrix() -> np.ndarray:
+    """[n_bins, 12] hard pitch-class assignment matrix (A440 tuning,
+    column 0 = C). The chromagram/HPCP is one more matmul over the same
+    per-frame power spectra the analyzers already compute (reference
+    ROADMAP.md "Chromagram / HPCP")."""
+    n_bins = C.WINDOW_SIZE // 2 + 1
+    f = np.arange(n_bins) * C.SAMPLE_RATE / C.WINDOW_SIZE
+    M = np.zeros((n_bins, N_CHROMA))
+    for k in range(1, n_bins):
+        pc = (int(round(12.0 * np.log2(f[k] / 440.0))) + 9) % 12
+        M[k, pc] = 1.0
+    return M
+
+
+@functools.lru_cache(maxsize=None)
 def dct_ii_matrix(n_in: int = N_MELS, n_out: int = N_MFCC) -> np.ndarray:
     """[n_in, n_out] orthonormal DCT-II."""
     k = np.arange(n_out)[None, :]
@@ -80,9 +98,13 @@ def dct_ii_matrix(n_in: int = N_MELS, n_out: int = N_MFCC) -> np.ndarray:
 
 
 def extended_features(
-    batch: PCMBatch, cfg: AnalysisConfig = DEFAULT
+    batch: PCMBatch, cfg: AnalysisConfig = DEFAULT, fa: jnp.ndarray | None = None
 ) -> jnp.ndarray:
-    """[B, len(EXTENDED_FEATURE_NAMES)] float32 feature matrix."""
+    """[B, len(EXTENDED_FEATURE_NAMES)] float32 feature matrix.
+
+    ``fa``: optional precomputed tempo band energies [B, NB, NBF] (from the
+    core analysis) so the FLOP-heavy front-end isn't run twice when core +
+    extended features are computed together."""
     dtype = cfg.jnp_dtype
     W = C.WINDOW_SIZE
     B, L = batch.samples.shape
@@ -163,9 +185,26 @@ def extended_features(
     )
     mfcc_std = jnp.sqrt(mfcc_var)
 
-    cols = [zcr, loudness_db, centroid, rolloff, flatness]
+    # beat features: same envelope machinery as the tempo score
+    from bliss_tpu.features.tempo import band_energies, beat_metrics
+
+    if fa is None:
+        fa = band_energies(batch, cfg)
+    bpm, beat_loud = beat_metrics(fa, n, batch.durations, cfg)
+
+    # chromagram: pitch-class projection of the accumulated power spectrum,
+    # normalized to sum 1 per song
+    spec = jnp.sum(power, axis=1)  # [B, bins]
+    chroma = jnp.matmul(
+        spec, jnp.asarray(chroma_matrix(), dtype), precision=hp
+    )
+    chroma = chroma / jnp.maximum(
+        jnp.sum(chroma, axis=1, keepdims=True), 1e-12
+    )
+
+    cols = [zcr, loudness_db, centroid, rolloff, flatness, bpm, beat_loud]
     out = jnp.stack(cols, axis=1)
-    out = jnp.concatenate([out, mfcc_mean, mfcc_std], axis=1)
+    out = jnp.concatenate([out, mfcc_mean, mfcc_std, chroma], axis=1)
     return out.astype(jnp.float32)
 
 

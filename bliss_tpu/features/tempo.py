@@ -161,12 +161,10 @@ def envelope_scores_from_energies(
     return envelope_finish_device(fa, batch.n_samples, batch.durations, cfg)
 
 
-def envelope_finish_device(
-    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray, cfg: AnalysisConfig
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """On-device envelope finish: fa [B, NB, NBF], n/durations [B] ->
-    ([B] tempo, [B] attack) in float32. Shared by the single-device and
-    sharded (parallel/mesh.py) paths."""
+def _envelope_pipeline(fa, n, cfg):
+    """Shared envelope stage: band energies -> weighted envelope.
+
+    Returns (wa [B, NB, 2*NBF], wa_edges, ss_src, last_excluded, j, n2)."""
     dtype = cfg.jnp_dtype
     B, NB, NBF = fa.shape
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP  # reference nb_frames
@@ -191,21 +189,33 @@ def envelope_finish_device(
         + jnp.asarray(C.ENV_DIFF_WEIGHT, dtype) * diff / 10.0
     )  # [B, NB, 2*NBF]
 
-    # --- attack (summed over bands, reference :246-248) --------------------
     n2 = 2 * nbf  # dynamic per-song envelope length
     j = jnp.arange(2 * NBF, dtype=jnp.int32)[None, :]
     last_excluded = j <= (n2 - 2)[:, None]  # sum runs to 2*nb_frames - 2
-    atk_sum = jnp.sum(
-        wa * last_excluded[:, None, :].astype(dtype), axis=(1, 2)
-    )
 
-    # --- double rectangular smoothing + peak count -------------------------
     # The band-summed envelope is smoothed; in the reference's 1-band build
     # the pass-1 output buffer aliases band 0's envelope, whose stale values
     # survive at the edges — generalized here as the band sum (identical for
     # NB=1 since smoothed_sum == wa except the final slot).
     wa_edges = wa[:, 0] if NB == 1 else jnp.sum(wa, axis=1)
     ss_src = jnp.sum(wa, axis=1)
+    return wa, wa_edges, ss_src, last_excluded, j, n2
+
+
+def envelope_finish_device(
+    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray, cfg: AnalysisConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device envelope finish: fa [B, NB, NBF], n/durations [B] ->
+    ([B] tempo, [B] attack) in float32. Shared by the single-device and
+    sharded (parallel/mesh.py) paths."""
+    dtype = cfg.jnp_dtype
+    wa, wa_edges, ss_src, last_excluded, j, n2 = _envelope_pipeline(fa, n, cfg)
+
+    # --- attack (summed over bands, reference :246-248) --------------------
+    atk_sum = jnp.sum(
+        wa * last_excluded[:, None, :].astype(dtype), axis=(1, 2)
+    )
+
     beat = _count_beats(ss_src, wa_edges, last_excluded, j, n2, cfg)
 
     dur = durations.astype(dtype)
@@ -290,11 +300,13 @@ def _window_energy(y: jnp.ndarray, cfg: AnalysisConfig) -> jnp.ndarray:
     )
 
 
-def _count_beats(ss_src, wa, last_excluded, j, n2, cfg):
+def _count_beats(ss_src, wa, last_excluded, j, n2, cfg, return_aux=False):
     """Two rectangular filters + epsilon peak count (reference :258-280).
 
     ss_src: band-summed envelope; wa: the buffer whose stale values the
-    reference's in-place pass 1 leaves at the edges."""
+    reference's in-place pass 1 leaves at the edges. With return_aux, also
+    returns (r2 smoothed envelope, peak mask over r2[:,1:-1], mid-valid
+    mask) for the beat-loudness / BPM extended features."""
     dtype = cfg.jnp_dtype
     width = C.RECT_FILTER_WIDTH
     n2c = n2[:, None]
@@ -323,7 +335,42 @@ def _count_beats(ss_src, wa, last_excluded, j, n2, cfg):
     eps = jnp.asarray(C.PEAK_EPSILON, dtype)
     inrange = j[:, 1:-1] <= (n2 - 2)[:, None]
     peaks = (d_prev > eps) & (d_next > eps) & inrange
-    return jnp.sum(peaks, axis=1).astype(jnp.int32)
+    beat = jnp.sum(peaks, axis=1).astype(jnp.int32)
+    if return_aux:
+        return beat, (r2, peaks, mid)
+    return beat
+
+
+def beat_metrics(
+    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray, cfg: AnalysisConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Extended ROADMAP beat features from band energies fa [B, NB, NBF]:
+    ([B] bpm, [B] beat_loudness), float32.
+
+    bpm: detected beats per minute, from the same epsilon-peak detector the
+    tempo score counts (reference ROADMAP.md "BPM" — the reference only ever
+    exposes the affine-scaled tempo score, never the rate itself).
+    beat_loudness: mean smoothed-envelope value at the detected beat
+    positions relative to the mean envelope over the valid range — >1 means
+    beats stand out of the envelope, ~1 a flat envelope (reference
+    ROADMAP.md "Beat loudness").
+    """
+    dtype = cfg.jnp_dtype
+    _, wa_edges, ss_src, last_excluded, j, n2 = _envelope_pipeline(fa, n, cfg)
+    beat, (r2, peaks, mid) = _count_beats(
+        ss_src, wa_edges, last_excluded, j, n2, cfg, return_aux=True
+    )
+    bpm = 60.0 * beat.astype(dtype) / durations.astype(dtype)
+    pk = peaks.astype(dtype)
+    peak_mean = jnp.sum(r2[:, 1:-1] * pk, axis=1) / jnp.maximum(
+        jnp.sum(pk, axis=1), 1.0
+    )
+    midf = mid.astype(dtype)
+    env_mean = jnp.sum(r2 * midf, axis=1) / jnp.maximum(
+        jnp.sum(midf, axis=1), 1.0
+    )
+    loud = peak_mean / jnp.maximum(env_mean, jnp.asarray(1e-12, dtype))
+    return bpm.astype(jnp.float32), loud.astype(jnp.float32)
 
 
 def _box_sum_host(x, width):

@@ -54,10 +54,6 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
     """Start device analysis for a batch; returns a callable that blocks and
     yields the [B, 4(+ext)] float32 features (the async half)."""
     ext_fut = None
-    if extended:
-        from bliss_tpu.features import extended_features_jit
-
-        ext_fut = extended_features_jit(batch, cfg)
 
     def with_ext(core_fn):
         if ext_fut is None:
@@ -69,13 +65,22 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
     if mesh is not None:
         from bliss_tpu.parallel import analyze_sharded
 
+        if extended:
+            from bliss_tpu.features import extended_features_jit
+
+            ext_fut = extended_features_jit(batch, cfg)
         fut = analyze_sharded(batch, mesh, cfg)
         return with_ext(lambda: np.asarray(fut))
     if cfg.tempo_finish == "host":
-        from bliss_tpu.features.analyze import _device_stage
+        from bliss_tpu.features.analyze import _device_stage, _device_stage_ext
         from bliss_tpu.features.tempo import envelope_finish_host
 
-        amp, freq, fa = _device_stage(batch, cfg)
+        if extended:
+            # one jitted program: core stage + extended features share the
+            # band-energy pass
+            amp, freq, fa, ext_fut = _device_stage_ext(batch, cfg)
+        else:
+            amp, freq, fa = _device_stage(batch, cfg)
 
         def finish():
             tempo, attack = envelope_finish_host(
@@ -95,6 +100,10 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
         return with_ext(finish)
     from bliss_tpu.features import analyze_batch_jit
 
+    if extended:
+        from bliss_tpu.features import extended_features_jit
+
+        ext_fut = extended_features_jit(batch, cfg)
     fut = analyze_batch_jit(batch, cfg)
     return with_ext(lambda: np.asarray(fut))
 

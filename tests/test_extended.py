@@ -99,3 +99,61 @@ def test_padding_invariance_extended():
         )
     )
     np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def _click_track(rate_hz, seconds=5, sr=22050):
+    """Sharp clicks at rate_hz over low noise (a beat-like signal)."""
+    rng = np.random.RandomState(5)
+    n = sr * seconds
+    mono = (rng.randn(n) * 300).astype(np.int16)
+    period = sr // rate_hz
+    for p in range(0, n, period):
+        mono[p : p + 220] = 24000
+    return np.stack([mono, mono], 1).reshape(-1)
+
+
+def test_bpm_of_click_track():
+    batch = PCMBatch.from_arrays([_click_track(4)], [5])
+    out = np.asarray(extended_features_jit(batch, CFG))[0]
+    # 4 clicks/s = 240 bpm; the envelope peak detector should land near it
+    assert 180 < out[IDX["bpm"]] < 300, out[IDX["bpm"]]
+
+
+def test_beat_loudness_orders_clicky_vs_flat():
+    rng = np.random.RandomState(8)
+    flat = rng.randint(-12000, 12000, size=22050 * 5 * 2).astype(np.int16)
+    batch = PCMBatch.from_arrays([_click_track(2), flat], [5, 5])
+    out = np.asarray(extended_features_jit(batch, CFG))
+    clicky, flat_l = out[:, IDX["beat_loudness"]]
+    # the mu-law log compression squashes envelope dynamics, so even a
+    # hard click track lands just ~20% above the mean envelope
+    assert clicky > 1.1  # beats stand out of the envelope
+    assert clicky > flat_l + 0.05  # ...more than in stationary noise
+
+
+def test_chroma_pitch_classes():
+    # 440 Hz = A (pitch class 9 with C=0); 261.6 Hz = C (class 0)
+    batch = PCMBatch.from_arrays([_tone(440), _tone(261.6)], [3, 3])
+    out = np.asarray(extended_features_jit(batch, CFG))
+    ch = out[:, IDX["chroma_00"] : IDX["chroma_00"] + 12]
+    np.testing.assert_allclose(ch.sum(1), 1.0, atol=1e-6)
+    assert ch[0].argmax() == 9
+    assert ch[1].argmax() == 0
+
+
+def test_precomputed_fa_matches_recompute():
+    """extended_features(fa=...) (the fused pipeline path) == recomputing."""
+    import jax
+
+    from bliss_tpu.features.extended import extended_features
+    from bliss_tpu.features.tempo import band_energies
+
+    batch = PCMBatch.from_arrays([_click_track(3)], [5])
+    fa = band_energies(batch, CFG)
+    with_fa = np.asarray(
+        jax.jit(
+            lambda b, f: extended_features(b, CFG, fa=f)
+        )(batch, fa)
+    )
+    without = np.asarray(extended_features_jit(batch, CFG))
+    np.testing.assert_allclose(with_fa, without, atol=1e-12)
