@@ -203,6 +203,13 @@ def cmd_scan(args) -> int:
         f"scanned {int(result.ok.sum())}/{len(files)} songs -> {args.output}"
         + (f" ({len(bad)} failed)" if bad else "")
     )
+    if result.stats.get("cancelled"):
+        print(
+            "scan cancelled; completed work is in the store — rerun the "
+            "same command to resume",
+            file=sys.stderr,
+        )
+        return 130
     return 0
 
 

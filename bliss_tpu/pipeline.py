@@ -128,6 +128,8 @@ def analyze_library(
     num_decode_workers: int | None = None,
     progress=None,
     extended: bool = False,
+    cancel=None,
+    handle_sigint: bool = True,
 ) -> ScanResult:
     """Analyze a library of audio files; returns features in input order.
 
@@ -135,6 +137,15 @@ def analyze_library(
     ``extended=True`` the ROADMAP feature set (zcr, loudness, spectral
     moments, MFCC stats) is computed in the same device pass and returned in
     ScanResult.extended; store entries then carry the concatenated vector.
+
+    Cancellation (the batch analog of the reference GUI's worker-thread
+    cancel Event, reference python/examples/analyze_gui.py:51-58): pass a
+    ``cancel`` threading.Event, or — when running on the main thread with
+    ``handle_sigint`` — press Ctrl-C once. Either way the scan stops taking
+    new work, DRAINS the in-flight device batches, flushes the store, and
+    returns the partial ScanResult with ``stats["cancelled"] = True``; a
+    re-run with the same store resumes losslessly. A second Ctrl-C raises
+    KeyboardInterrupt immediately.
     """
     from bliss_tpu.features import EXTENDED_FEATURE_NAMES
 
@@ -239,29 +250,62 @@ def analyze_library(
             store.flush()
         _progress(f"analyzed batch of {len(entries)} (L={L})")
 
-    with timer.stage("scan"):
-        stream = iter_decode(
-            [files[i] for i in todo],
-            num_workers=num_decode_workers,
-            on_error="skip",
-        )
-        for j, (fname, decoded) in zip(todo, stream):
-            if decoded is None:
-                errors[files[j]] = "decode failed"
-                done += 1
-                _progress(f"skipped {files[j]}")
-                continue
-            L = _bucket_length(decoded.n_samples, cfg.pad_multiple)
-            buckets.setdefault(L, []).append((j, decoded))
-            if len(buckets[L]) == batch_size:
-                dispatch_bucket(L, buckets.pop(L))
-        for L in sorted(buckets):
-            dispatch_bucket(L, buckets.pop(L))
-        while in_flight:
-            finalize_oldest()
+    # --- cancellation: Ctrl-C (main thread) or a caller-supplied Event ------
+    import signal
+    import threading
+
+    sigint_seen = threading.Event()
+    prev_handler = None
+
+    def _on_sigint(signum, frame):
+        if sigint_seen.is_set():  # second Ctrl-C: abort for real
+            raise KeyboardInterrupt
+        sigint_seen.set()
+        _progress("cancelling: draining in-flight batches (Ctrl-C again to abort)")
+
+    def _cancelled() -> bool:
+        return sigint_seen.is_set() or (cancel is not None and cancel.is_set())
+
+    if handle_sigint and threading.current_thread() is threading.main_thread():
+        prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+
+    try:
+        with timer.stage("scan"):
+            stream = iter_decode(
+                [files[i] for i in todo],
+                num_workers=num_decode_workers,
+                on_error="skip",
+            )
+            for j, (fname, decoded) in zip(todo, stream):
+                if _cancelled():
+                    break
+                if decoded is None:
+                    errors[files[j]] = "decode failed"
+                    done += 1
+                    _progress(f"skipped {files[j]}")
+                    continue
+                L = _bucket_length(decoded.n_samples, cfg.pad_multiple)
+                buckets.setdefault(L, []).append((j, decoded))
+                if len(buckets[L]) == batch_size:
+                    dispatch_bucket(L, buckets.pop(L))
+            if not _cancelled():
+                for L in sorted(buckets):
+                    dispatch_bucket(L, buckets.pop(L))
+            else:
+                # decoded-but-undispatched songs are dropped; they resume
+                # from the store on the next run
+                buckets.clear()
+            while in_flight:
+                finalize_oldest()
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGINT, prev_handler)
+        if store is not None:
+            store.flush()
 
     stats = timer.report()
     stats["errors"] = len(errors)
+    stats["cancelled"] = _cancelled()
     log_event(logger, "scan complete", total=n_total, ok=int(ok.sum()), **{
         k: v["seconds"] for k, v in timer.report().items()
     })

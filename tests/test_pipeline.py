@@ -131,3 +131,78 @@ def test_analyze_library_extended(fixture_dir, tmp_path):
     r3 = analyze_library(files, cfg=CFG, batch_size=2, store=store2)
     assert r3.ok.all()
     np.testing.assert_allclose(r3.features, r.features, atol=1e-6)
+
+
+def _make_library(tmp_path, n=12):
+    """n small distinct FLACs written from scratch."""
+    from bliss_tpu.io.flac_writer import write_flac
+
+    rng = np.random.RandomState(3)
+    files = []
+    for i in range(n):
+        frames = rng.randint(-15000, 15000, size=(30_000 + 512 * i, 2))
+        p = str(tmp_path / f"song{i}.flac")
+        write_flac(p, frames.astype(np.int16), 22050)
+        files.append(p)
+    return files
+
+
+def test_cancel_event_drains_and_resumes(tmp_path):
+    """A cancel Event stops the scan after in-flight work drains; the next
+    run resumes losslessly from the store (the GUI-cancellation analog)."""
+    import threading
+
+    files = _make_library(tmp_path)
+    store = FeatureStore(str(tmp_path / "store"))
+    cancel = threading.Event()
+    seen = []
+
+    def progress(done, total, msg):
+        seen.append((done, msg))
+        if done >= 2:  # cancel once the first batch lands
+            cancel.set()
+
+    cfg = AnalysisConfig(dtype="float64")
+    r1 = analyze_library(
+        files, cfg=cfg, batch_size=2, store=store, progress=progress,
+        cancel=cancel,
+    )
+    assert r1.stats["cancelled"]
+    n_done = int(r1.ok.sum())
+    assert 0 < n_done < len(files)  # partial: drained, not completed
+    assert np.isfinite(r1.features[r1.ok]).all()
+
+    store2 = FeatureStore(str(tmp_path / "store"))
+    assert len(store2) == n_done  # completed work persisted
+    r2 = analyze_library(files, cfg=cfg, batch_size=2, store=store2)
+    assert not r2.stats["cancelled"]
+    assert r2.ok.all()
+    np.testing.assert_allclose(
+        r2.features[r1.ok], r1.features[r1.ok], atol=0
+    )  # resumed rows come from the store bit-for-bit
+
+
+def test_sigint_cancels_gracefully(tmp_path):
+    """One SIGINT mid-scan returns a partial result instead of raising."""
+    import os as _os
+    import signal
+
+    files = _make_library(tmp_path)
+    store = FeatureStore(str(tmp_path / "store"))
+    fired = []
+
+    def progress(done, total, msg):
+        if done >= 2 and not fired:
+            fired.append(True)
+            _os.kill(_os.getpid(), signal.SIGINT)
+
+    cfg = AnalysisConfig(dtype="float64")
+    r = analyze_library(
+        files, cfg=cfg, batch_size=2, store=store, progress=progress
+    )
+    assert r.stats["cancelled"]
+    assert 0 < int(r.ok.sum()) < len(files)
+    # the previous SIGINT disposition is restored
+    assert signal.getsignal(signal.SIGINT) is signal.default_int_handler or (
+        signal.getsignal(signal.SIGINT) is not None
+    )
