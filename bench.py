@@ -121,16 +121,41 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    # correctness gate: fetched features must match the reference goldens
+    # --- correctness gates --------------------------------------------------
+    # device-finish path: amplitude/frequency/attack vs the goldens (the
+    # float32 on-device tempo finish may flip epsilon-marginal peaks, so
+    # tempo is gated on the HYBRID path below, where it must be EXACT)
     feats = np.asarray(feats_fn(batch))
     err = np.abs(feats[0] - np.array(GOLDEN))
-    correctness_ok = bool(err[1:].max() < 5e-4 and err[0] < 1.6)
+    device_ok = bool(err[1:].max() < 5e-4)
+
+    # production for_tpu() hybrid path: host float64 finish -> the full
+    # 4-vector including tempo must match the goldens
+    from bliss_tpu.features.analyze import _device_stage_packed, _unpack_stage
+    from bliss_tpu.features.tempo import envelope_finish_host
+
+    cfg_h = AnalysisConfig.for_tpu()
+
+    def hybrid_batch(b):
+        packed = np.asarray(_device_stage_packed(b, cfg_h))
+        amp, freq, fa, _ = _unpack_stage(packed, cfg_h, b.samples.shape[1])
+        t, a = envelope_finish_host(
+            fa, np.asarray(b.n_samples), np.asarray(b.durations)
+        )
+        return np.stack([t, amp, freq, a], axis=1)
+
+    hfeats = hybrid_batch(batch)  # also compiles the hybrid device stage
+    herr = np.abs(hfeats[0] - np.array(GOLDEN))
+    hybrid_ok = bool(herr[0] < 1e-5 and herr[1:].max() < 5e-4)
+    correctness_ok = device_ok and hybrid_ok
     if not correctness_ok:
         print(
-            f"WARNING: correctness gate failed: {feats[0]} vs {GOLDEN}",
+            f"WARNING: correctness gate failed: device {feats[0]} / "
+            f"hybrid {hfeats[0]} vs {GOLDEN}",
             file=sys.stderr,
         )
 
+    # --- scope 1: device-resident analysis throughput (fused kernels) ------
     R1, R2, TRIALS = 4, 24, 3
     float(repeated(batch, R1))  # compile
     float(repeated(batch, R2))
@@ -144,21 +169,63 @@ def main() -> None:
     per_batch = (timed(R2) - timed(R1)) / (R2 - R1)
     tpu_songs_per_sec = B / per_batch
 
+    # --- scope 2: production hybrid mode incl. host float64 finish ----------
+    # (wall-clock per batch: device stage dispatch + fetch + vectorized host
+    # finish; includes this sandbox's ~28 ms tunnel round-trips, so it is a
+    # LOWER bound for a real TPU-VM host)
+    hybrid_batch(batch)  # warm
+    t0 = time.time()
+    H = 4
+    for _ in range(H):
+        hybrid_batch(batch)
+    hybrid_per_batch = (time.time() - t0) / H
+    hybrid_songs_per_sec = B / hybrid_per_batch
+
+    # --- scope 3: end-to-end library scan (decode -> features) --------------
+    # north star is batch analysis of a 10k-song library; measure a 512-song
+    # synthetic library (hardlinks of the fixture) through analyze_library
+    # with the production config, store disabled (no cache hits).
+    import tempfile
+
+    from bliss_tpu.pipeline import analyze_library
+
+    with tempfile.TemporaryDirectory() as td:
+        files = []
+        for i in range(512):
+            p = os.path.join(td, f"song{i:04d}.flac")
+            os.link(FIXTURE, p)
+            files.append(p)
+        # warm the bucket's compiled shape with a tiny scan first
+        analyze_library(files[:4], cfg=cfg_h, batch_size=128)
+        t0 = time.time()
+        r = analyze_library(files, cfg=cfg_h, batch_size=128)
+        e2e_s = time.time() - t0
+        assert r.ok.all(), "e2e scan had failures"
+        e2e_songs_per_sec = len(files) / e2e_s
+
     vs = tpu_songs_per_sec / baseline["cpu_analysis_songs_per_sec"]
     print(
         json.dumps(
             {
                 "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
-                "value": round(tpu_songs_per_sec, 1),
+                "value": round(tpu_songs_per_sec, 1) if correctness_ok else 0.0,
                 "unit": "songs/s",
-                "vs_baseline": round(vs, 1),
+                "vs_baseline": round(vs, 1) if correctness_ok else 0.0,
                 "baseline_cpu_songs_per_sec": baseline[
                     "cpu_analysis_songs_per_sec"
                 ],
                 "batch": B,
                 "ms_per_batch": round(per_batch * 1000, 2),
+                "hybrid_songs_per_sec": round(hybrid_songs_per_sec, 1),
+                "hybrid_ms_per_batch": round(hybrid_per_batch * 1000, 2),
+                "e2e_songs_per_sec": round(e2e_songs_per_sec, 1),
+                "e2e_vs_baseline": round(
+                    e2e_songs_per_sec / baseline["cpu_e2e_songs_per_sec"], 1
+                ),
                 "device": str(jax.devices()[0]),
                 "max_feature_err_vs_golden": float(err[1:].max()),
+                "tempo_err_hybrid": float(herr[0]),
+                "max_feature_err_hybrid": float(herr.max()),
                 "correctness_ok": correctness_ok,
             }
         )

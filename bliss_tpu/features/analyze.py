@@ -40,13 +40,14 @@ def analyze_batch(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT) -> jnp.ndarray
 
 
 def _use_fused(batch: PCMBatch, cfg: AnalysisConfig) -> bool:
-    """The fused Pallas kernels cover the float32 single-band configuration
-    on inputs long enough for their tile shapes (clips shorter than ~1.5 s
-    fall back to the XLA path)."""
+    """The fused Pallas kernels cover the float32 configuration (any band
+    count — the band runs as an inner grid dimension) on inputs long enough
+    for their tile shapes (clips shorter than ~1.5 s fall back to the XLA
+    path)."""
     return (
         cfg.fused_kernel
         and cfg.dtype == "float32"
-        and cfg.nb_bands == 1
+        and cfg.band_taps <= 129
         and batch.samples.shape[1] >= 65536
     )
 
@@ -62,6 +63,9 @@ def _fused_amp_and_energies(batch: PCMBatch, cfg: AnalysisConfig):
         batch.samples,
         batch.n_samples,
         interpret=_jax.default_backend() == "cpu",
+        nb_bands=cfg.nb_bands,
+        band_taps=cfg.band_taps,
+        filterbank=cfg.filterbank,
     )
     amplitude = (
         jnp.float32(Cn.AMPLITUDE_SCALE) * amp_integral.astype(jnp.float32)
@@ -71,16 +75,16 @@ def _fused_amp_and_energies(batch: PCMBatch, cfg: AnalysisConfig):
     W, hop = Cn.WINDOW_SIZE, Cn.TEMPO_HOP
     n = batch.n_samples
     NBF = batch.samples.shape[1] // hop
-    NW = energies.shape[1]
+    NW = energies.shape[-1]
     trunc_n = n - n % W
     n_windows = -((-(trunc_n - W)) // hop)
-    wmask = jnp.arange(NW, dtype=jnp.int32)[None, :] < n_windows[:, None]
+    wmask = jnp.arange(NW, dtype=jnp.int32)[None, None, :] < n_windows[:, None, None]
     fa = energies * wmask.astype(energies.dtype)
     if NW < NBF:
-        fa = jnp.pad(fa, ((0, 0), (0, NBF - NW)))
+        fa = jnp.pad(fa, ((0, 0), (0, 0), (0, NBF - NW)))
     else:
-        fa = fa[:, :NBF]
-    return amplitude, fa[:, None, :]  # [B, 1, NBF]
+        fa = fa[:, :, :NBF]
+    return amplitude, fa  # [B, NB, NBF]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -117,6 +121,43 @@ def _device_stage_ext(batch: PCMBatch, cfg: AnalysisConfig):
     return amplitude, frequency, fa, extended_features(batch, cfg, fa=fa)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "extended"))
+def _device_stage_packed(
+    batch: PCMBatch, cfg: AnalysisConfig, extended: bool = False
+):
+    """Hybrid device stage with every output packed into ONE array
+    [B, 2 + NB*NBF (+ n_ext)] = (amplitude, frequency, flattened band
+    energies, extended features) so a remote host pays a single fetch —
+    this sandbox's TPU tunnel costs ~28 ms per round trip, and the
+    unpacked variant paid it 3-4 times per batch."""
+    amplitude, frequency, fa = _device_stage(batch, cfg)
+    B, NB, NBF = fa.shape
+    cols = [amplitude[:, None], frequency[:, None], fa.reshape(B, NB * NBF)]
+    if extended:
+        from bliss_tpu.features.extended import extended_features
+
+        cols.append(extended_features(batch, cfg, fa=fa))
+    dt = fa.dtype
+    return jnp.concatenate([c.astype(dt) for c in cols], axis=1)
+
+
+def _unpack_stage(packed, cfg, L: int, extended: bool = False):
+    """Split a fetched _device_stage_packed array back into
+    (amplitude, frequency, fa [B, NB, NBF], extended | None)."""
+    import numpy as np
+
+    B = packed.shape[0]
+    NB = cfg.nb_bands
+    NBF = L // C.TEMPO_HOP
+    amp = np.asarray(packed[:, 0], np.float32)
+    freq = np.asarray(packed[:, 1], np.float32)
+    fa = packed[:, 2 : 2 + NB * NBF].reshape(B, NB, NBF)
+    ext = (
+        np.asarray(packed[:, 2 + NB * NBF :], np.float32) if extended else None
+    )
+    return amp, freq, fa, ext
+
+
 def analyze_batch_hybrid(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT):
     """[B, 4] float32 force vectors with the tempo envelope finished on the
     host in float64 (exact beat-count parity on float32-only backends)."""
@@ -124,15 +165,18 @@ def analyze_batch_hybrid(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT):
 
     from bliss_tpu.features.tempo import envelope_finish_host
 
-    amplitude, frequency, fa = _device_stage(batch, cfg)
+    packed = np.asarray(_device_stage_packed(batch, cfg))
+    amplitude, frequency, fa, _ = _unpack_stage(
+        packed, cfg, batch.samples.shape[1]
+    )
     tempo, attack = envelope_finish_host(
-        np.asarray(fa), np.asarray(batch.n_samples), np.asarray(batch.durations)
+        fa, np.asarray(batch.n_samples), np.asarray(batch.durations)
     )
     return jnp.stack(
         [
             jnp.asarray(tempo),
-            amplitude.astype(jnp.float32),
-            frequency.astype(jnp.float32),
+            jnp.asarray(amplitude),
+            jnp.asarray(frequency),
             jnp.asarray(attack),
         ],
         axis=1,

@@ -375,14 +375,15 @@ def beat_metrics(
 
 def _box_sum_host(x, width):
     """Centered zero-padded box sums along the last axis, vectorized over
-    leading axes (scipy lfilter FIR — no per-row Python loop)."""
+    leading axes. Each output is an exact `width`-term sum (no running-sum
+    error accumulation — the epsilon peak detector compares differences at
+    the 1e-6 level)."""
     import numpy as np
-    from scipy.signal import lfilter
+    from numpy.lib.stride_tricks import sliding_window_view
 
     half = width // 2
-    xp = np.concatenate([x, np.zeros(x.shape[:-1] + (half,))], axis=-1)
-    c = lfilter(np.ones(width), [1.0], xp, axis=-1)
-    return c[..., half:]
+    pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
+    return sliding_window_view(np.pad(x, pad), width, axis=-1).sum(-1)
 
 
 def envelope_finish_host(fa, n_samples, durations):

@@ -12,15 +12,19 @@ so the two heaviest sample-rate stages read HBM exactly once, convert
 int16->float32 once in VMEM, and write only tiny per-block reductions.
 The frequency analyzer stays on the MXU (DFT matmul) outside this kernel.
 
-Single-band (parity) tempo front-end only; the extended multi-band mode
-uses the XLA path.
+Multi-band: the filterbank runs as an extra INNERMOST grid dimension, so
+the PCM block stays resident in VMEM across bands (Pallas skips refetching
+blocks whose index map doesn't change) and only the tiny per-band conv /
+warm-up matrices page in — VMEM use is constant in the band count, which
+is what lets the same kernel serve the 1-band parity mode, the reference's
+5x17 full-spectrum filterbank, and its 36x33 fine filterbank.
 
 Layout: the PCM is viewed as [B, NC*NBLK, 256] so each grid step reads a
 [NBLK, 256] matrix of hop-sized blocks directly (aligned (sublane, lane)
-tiles, no in-kernel relayout). Each block row is extended by a 16-column
-history from the previous row (pltpu.roll); the cross-chunk history arrives
-as a separate halo input. The 17-tap convolution itself runs as one banded
-matmul on the MXU (tables.conv_band_matrix).
+tiles, no in-kernel relayout). Each block row is extended by a (taps-1)-
+column history from the previous row (pltpu.roll); the cross-chunk history
+arrives as a separate halo input. The FIR convolution itself runs as one
+banded matmul on the MXU (tables.conv_band_matrix).
 
 Amplitude trim (reference src/amplitude_sort.c:26-32 trims leading/trailing
 zeros) is exact without masking inside the kernel: zero samples have weight
@@ -42,9 +46,9 @@ from bliss_tpu import tables
 
 DEFAULT_CHUNK = 245760   # samples per grid step along L
 BLK = C.TEMPO_HOP        # 256
-K = C.NB_FIR_COEFFS - 1  # warm-up depth (16)
 
-# Output row assignment in the fused [8, NBLK] result tile.
+# Output row assignment in each band's fused [8, NBLK] result tile
+# (wsum/rownz are band-independent; the caller reads band 0's copies).
 ROWS = ("s1", "s2", "sa", "d1", "d2", "da", "wsum", "rownz")
 
 
@@ -66,21 +70,23 @@ def _cheb_T(m, coeffs, halfwidth):
 def _kernel(
     ab_ref,    # SMEM [1, 1, 4] float32: (alpha, beta, halo0_valid, unused)
     x_ref,     # VMEM [1, NBLK, 256] int16: this chunk as hop-sized rows
-    halo_ref,  # VMEM [1, 1, 1, 128] int16: last 16 samples before this chunk
-               # in lanes 0..15 (sliver, not a full-array shifted copy)
-    warm_ref,  # VMEM [16, 16] float32: FIR warm-up correction matrix
-    conv_ref,  # VMEM [BLK+16, BLK] float32: banded FIR-as-matmul matrix
-    out_ref,   # VMEM out [1, 1, 8, NBLK] float32: rows per ROWS
+    halo_ref,  # VMEM [1, 1, 1, 128] int16: last k samples before this chunk
+               # in lanes 0..k-1 (sliver, not a full-array shifted copy)
+    warm_ref,  # VMEM [k, k] float32: THIS band's FIR warm-up correction
+    conv_ref,  # VMEM [BLK+k, BLK] float32: THIS band's banded FIR matrix
+    out_ref,   # VMEM out [1, 1, 1, 8, NBLK] float32: rows per ROWS
     *,
     cheb,      # tuple of float coeffs (compile-time)
     halfwidth,
     conv_precision,
+    k,         # taps - 1 (warm-up depth)
 ):
     j = pl.program_id(1)
     xb = x_ref[0].astype(jnp.float32)  # [NBLK, BLK]
 
     # ---- amplitude: w(s) = T(1000 - |s+1|), UNMASKED per-block sums --------
-    # (trim correction happens in the caller; zeros weigh exactly 1)
+    # (trim correction happens in the caller; zeros weigh exactly 1;
+    # recomputed per band — pure VPU, caller reads band 0's rows)
     w = _cheb_T(1000.0 - jnp.abs(xb + 1.0), cheb, halfwidth)
     wsum = jnp.sum(w, axis=1)  # [NBLK]
 
@@ -92,7 +98,7 @@ def _kernel(
     alpha = ab_ref[0, 0, 0]
     beta = ab_ref[0, 0, 1]
     xn = xb * alpha + beta  # [NBLK, BLK]
-    halo_raw = halo_ref[0, 0, :, :K].astype(jnp.float32)  # [1, K]
+    halo_raw = halo_ref[0, 0, :, :k].astype(jnp.float32)  # [1, k]
     # Chunk 0's history must be zero in NORMALIZED space (matching the
     # reference's zero-padded conv start) unless the caller injected a real
     # raw history (sharded mode sets halo0_valid); mid-stream chunks always
@@ -102,17 +108,17 @@ def _kernel(
         raw_hist, halo_raw * alpha + beta, jnp.zeros_like(halo_raw)
     )
     # Row-shift the per-block tails down by one (block b's history is block
-    # b-1's last K samples); row 0 takes the cross-chunk halo.
+    # b-1's last k samples); row 0 takes the cross-chunk halo.
     NBLK = xb.shape[0]
-    tails = pltpu.roll(xn[:, BLK - K :], shift=1, axis=0)  # [NBLK, K]
-    rowK = jax.lax.broadcasted_iota(jnp.int32, (NBLK, K), 0)
+    tails = pltpu.roll(xn[:, BLK - k :], shift=1, axis=0)  # [NBLK, k]
+    rowK = jax.lax.broadcasted_iota(jnp.int32, (NBLK, k), 0)
     prev_tail = jnp.where(
-        rowK == 0, jnp.broadcast_to(halo_tail, (NBLK, K)), tails
+        rowK == 0, jnp.broadcast_to(halo_tail, (NBLK, k)), tails
     )
-    ext = jnp.concatenate([prev_tail, xn], axis=1)  # [NBLK, K + BLK]
+    ext = jnp.concatenate([prev_tail, xn], axis=1)  # [NBLK, k + BLK]
 
-    # The 17-tap causal conv as ONE banded matmul on the MXU (measured ~2x
-    # faster than 17 unaligned vector shifts on the VPU).
+    # The causal FIR as ONE banded matmul on the MXU (measured ~2x faster
+    # than taps unaligned vector shifts on the VPU).
     z = jnp.dot(
         ext, conv_ref[:, :],
         preferred_element_type=jnp.float32,
@@ -126,21 +132,21 @@ def _kernel(
     sa = jnp.sum(z * alt, axis=1)
 
     # ---- FIR warm-up corrections per block ---------------------------------
-    hist = ext[:, :K]  # the 16 normalized samples before each block
-    zh = z[:, :K]
+    hist = ext[:, :k]  # the k normalized samples before each block
+    zh = z[:, :k]
     delta = jax.lax.dot_general(
         hist, warm_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [NBLK, K]
+    )  # [NBLK, k]
     altK = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (NBLK, K), 1) % 2 == 0, 1.0, -1.0
+        jax.lax.broadcasted_iota(jnp.int32, (NBLK, k), 1) % 2 == 0, 1.0, -1.0
     )
     d1 = jnp.sum(delta, axis=1)
     d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=1)
     da = jnp.sum(delta * altK, axis=1)
 
-    out_ref[0, 0] = jnp.stack([s1, s2, sa, d1, d2, da, wsum, rownz])
+    out_ref[0, 0, 0] = jnp.stack([s1, s2, sa, d1, d2, da, wsum, rownz])
 
 
 def fused_stats_call(
@@ -151,18 +157,25 @@ def fused_stats_call(
     interpret: bool = False,
     chunk: int = DEFAULT_CHUNK,
     conv_precision=jax.lax.Precision.HIGHEST,
+    nb_bands: int = 1,
+    band_taps: int = 17,
+    filterbank: str = "firwin",
 ):
     """Low-level kernel invocation with caller-provided normalization
     scalars.
 
     Returns (wsum [B, NBF] — UNMASKED per-block weight sums (padding blocks
     count 1 per sample), rownz [B, NBF] — per-block any-nonzero flags,
-    energies [B, NW]). NBF = padded block count (the padded length is
-    NBF * 256). ``halo0``: optional [B, 16] int16 conv history for the very
-    first block (sequence-sharded callers pass the previous shard's tail;
-    standalone use keeps the zero history).
+    energies [B, NB, NW]). NBF = padded block count (the padded length is
+    NBF * 256). ``halo0``: optional [B, taps-1] int16 conv history for the
+    very first block (sequence-sharded callers pass the previous shard's
+    tail; standalone use keeps the zero history).
     """
     B, L0 = samples.shape
+    NB = nb_bands
+    K = band_taps - 1
+    if K > 128:
+        raise ValueError("band_taps - 1 must fit the 128-lane halo sliver")
     CHUNK = min(chunk, ((L0 + BLK - 1) // BLK) * BLK)
     NBLK = CHUNK // BLK
     if CHUNK < 16 * 128 or (L0 > CHUNK and NBLK % 8):
@@ -186,8 +199,8 @@ def fused_stats_call(
         axis=1,
     )[:, None, :]
 
-    # The 16 raw samples preceding each chunk, as tiny [B, NC, 1, 128]
-    # slivers (lanes 0..15 carry data): chunk j takes chunk j-1's tail;
+    # The K raw samples preceding each chunk, as tiny [B, NC, 1, 128]
+    # slivers (lanes 0..K-1 carry data): chunk j takes chunk j-1's tail;
     # chunk 0 is zero-filled unless a cross-shard history is injected.
     tails = x.reshape(B, NC, CHUNK)[:, :, CHUNK - K :]  # [B, NC, K]
     first = (
@@ -199,61 +212,69 @@ def fused_stats_call(
     halo = jnp.pad(halo, ((0, 0), (0, 0), (0, 128 - K)))[:, :, None, :]
 
     A, _, c_pos = tables.amplitude_cdf_poly()
-    warm = tables.fir_warmup_correction()[0]
+    # [NB*K, K] warm-up and [NB*(BLK+K), BLK] conv matrices; the band grid
+    # dimension (innermost) pages each band's slice via its BlockSpec.
+    warm = tables.fir_warmup_correction(NB, band_taps, filterbank).reshape(
+        NB * K, K
+    )
+    conv = tables.conv_band_matrices(NB, band_taps, filterbank)
 
     kern = functools.partial(
         _kernel,
         cheb=tuple(float(v) for v in c_pos),
         halfwidth=float(A),
         conv_precision=conv_precision,
+        k=K,
     )
     out = pl.pallas_call(
         kern,
-        grid=(B, NC),
+        grid=(B, NC, NB),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 4), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM
+                (1, 1, 4), lambda i, j, b: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, NBLK, BLK), lambda i, j: (i, j, 0),
+                (1, NBLK, BLK), lambda i, j, b: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, 128), lambda i, j: (i, j, 0, 0),
+                (1, 1, 1, 128), lambda i, j, b: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((K, K), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (BLK + K, BLK), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (K, K), lambda i, j, b: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BLK + K, BLK), lambda i, j, b: (b, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 8, NBLK), lambda i, j: (i, j, 0, 0),
+            (1, 1, 1, 8, NBLK), lambda i, j, b: (i, j, b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, NC, 8, NBLK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, NC, NB, 8, NBLK), jnp.float32),
         interpret=interpret,
     )(
         ab,
         x.reshape(B, NC * NBLK, BLK),
         halo,
         jnp.asarray(warm, jnp.float32),
-        jnp.asarray(tables.conv_band_matrix(), jnp.float32),
+        jnp.asarray(conv, jnp.float32),
     )
 
-    s1 = out[:, :, 0, :].reshape(B, NBF)
-    s2 = out[:, :, 1, :].reshape(B, NBF)
-    sa = out[:, :, 2, :].reshape(B, NBF)
-    d1 = out[:, :, 3, :].reshape(B, NBF)
-    d2 = out[:, :, 4, :].reshape(B, NBF)
-    da = out[:, :, 5, :].reshape(B, NBF)
-    wsum = out[:, :, 6, :].reshape(B, NBF)
-    rownz = out[:, :, 7, :].reshape(B, NBF)
+    # [B, NC, NB, NBLK] -> [B, NB, NBF] per statistic
+    def rows(r):
+        return jnp.moveaxis(out[:, :, :, r, :], 2, 1).reshape(B, NB, NBF)
+
+    s1, s2, sa, d1, d2, da = (rows(r) for r in range(6))
+    wsum = out[:, :, 0, 6, :].reshape(B, NBF)
+    rownz = out[:, :, 0, 7, :].reshape(B, NBF)
 
     NW = NBF - 1
-    sum_y2 = s2[:, :NW] + s2[:, 1:] + d2[:, :NW]
-    sum_y = s1[:, :NW] + s1[:, 1:] + d1[:, :NW]
-    sum_a = sa[:, :NW] + sa[:, 1:] + da[:, :NW]
+    sum_y2 = s2[..., :NW] + s2[..., 1:] + d2[..., :NW]
+    sum_y = s1[..., :NW] + s1[..., 1:] + d1[..., :NW]
+    sum_a = sa[..., :NW] + sa[..., 1:] + da[..., :NW]
     energies = (C.WINDOW_SIZE / 2) * sum_y2 + (
         sum_y * sum_y + sum_a * sum_a
     ) / 2.0
@@ -288,15 +309,20 @@ def trim_bounds_from_rownz(samples, rownz, L0: int):
     return start, end
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "chunk", "nb_bands", "band_taps", "filterbank"),
+)
 def fused_sample_stats(samples, n_samples, interpret: bool = False,
-                       chunk: int = DEFAULT_CHUNK):
+                       chunk: int = DEFAULT_CHUNK, nb_bands: int = 1,
+                       band_taps: int = 17, filterbank: str = "firwin"):
     """samples: int16 [B, L]; n_samples: int32 [B].
 
-    Returns (amp_integral [B], energies [B, NW]) where amp_integral is the
-    smoothed-histogram windowed integral (before the affine score) and
-    energies are the per-window Parseval spectral sums (before window-count
-    masking), NW = L//hop - 1. L is padded to a CHUNK multiple internally.
+    Returns (amp_integral [B], energies [B, NB, NW]) where amp_integral is
+    the smoothed-histogram windowed integral (before the affine score) and
+    energies are the per-band per-window Parseval spectral sums (before
+    window-count masking), NW = L//hop - 1. L is padded to a CHUNK multiple
+    internally.
     """
     x = samples
     B, L = x.shape
@@ -319,6 +345,7 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
 
     wsum, rownz, energies = fused_stats_call(
         samples, alpha, beta, interpret=interpret, chunk=chunk,
+        nb_bands=nb_bands, band_taps=band_taps, filterbank=filterbank,
     )
     start, end = trim_bounds_from_rownz(samples, rownz, L)
     trimlen = (end - start + 1).astype(jnp.float32)

@@ -122,7 +122,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         Bl, Ls = s.shape
         use_fused = (
             cfg.fused_kernel and cfg.dtype == "float32"
-            and cfg.nb_bands == 1 and Ls >= 65536
+            and cfg.band_taps <= 129 and Ls >= 65536
         )
         seq_ix = jax.lax.axis_index("seq")
         n_seq = jax.lax.axis_size("seq")
@@ -225,6 +225,8 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             wsum, _, energies_ext = fused_stats_call(
                 x_ext, alpha, beta, halo0=left16,
                 interpret=jax.default_backend() == "cpu",
+                nb_bands=cfg.nb_bands, band_taps=cfg.band_taps,
+                filterbank=cfg.filterbank,
             )
             # Unmasked per-block weight sums over THIS shard's own blocks
             # (the ring-extension block and kernel padding are dropped),
@@ -234,7 +236,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             inside = jnp.maximum(hi_in - lo_in, 0).astype(dtype)
             amp_part = jnp.sum(wsum[:, :NBF_l], axis=1) - (Ls - inside)
             amp_dot = jax.lax.psum(amp_part, "seq")
-            energy = energies_ext[:, None, :NBF_l]  # [Bl, 1, NBF_l]
+            energy = energies_ext[:, :, :NBF_l]  # [Bl, NB, NBF_l]
 
         if not use_fused:
             norm = (s.astype(dtype) * inv - mean[:, None].astype(dtype) * inv) / (

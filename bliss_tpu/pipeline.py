@@ -72,32 +72,28 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
         fut = analyze_sharded(batch, mesh, cfg)
         return with_ext(lambda: np.asarray(fut))
     if cfg.tempo_finish == "host":
-        from bliss_tpu.features.analyze import _device_stage, _device_stage_ext
+        from bliss_tpu.features.analyze import (
+            _device_stage_packed,
+            _unpack_stage,
+        )
         from bliss_tpu.features.tempo import envelope_finish_host
 
-        if extended:
-            # one jitted program: core stage + extended features share the
-            # band-energy pass
-            amp, freq, fa, ext_fut = _device_stage_ext(batch, cfg)
-        else:
-            amp, freq, fa = _device_stage(batch, cfg)
+        # one jitted program (core + extended share the band-energy pass),
+        # one packed output array = one device->host fetch per batch
+        fut = _device_stage_packed(batch, cfg, extended)
+        L = batch.samples.shape[1]
 
         def finish():
+            amp, freq, fa, ext = _unpack_stage(
+                np.asarray(fut), cfg, L, extended
+            )
             tempo, attack = envelope_finish_host(
-                np.asarray(fa), np.asarray(batch.n_samples),
-                np.asarray(batch.durations),
+                fa, np.asarray(batch.n_samples), np.asarray(batch.durations)
             )
-            return np.stack(
-                [
-                    tempo,
-                    np.asarray(amp, np.float32),
-                    np.asarray(freq, np.float32),
-                    attack,
-                ],
-                axis=1,
-            )
+            core = np.stack([tempo, amp, freq, attack], axis=1)
+            return np.concatenate([core, ext], axis=1) if extended else core
 
-        return with_ext(finish)
+        return finish
     from bliss_tpu.features import analyze_batch_jit
 
     if extended:

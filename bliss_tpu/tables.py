@@ -216,6 +216,25 @@ def conv_band_matrix(taps: int = 17, blk: int = 256) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def conv_band_matrices(
+    nb_bands: int = 1, taps: int = 17, kind: str = "firwin", blk: int = 256
+) -> np.ndarray:
+    """[nb_bands*(blk+taps-1), blk] stacked banded FIR matrices, one per
+    filterbank band. The fused Pallas kernel's BlockSpec pages band b's
+    [blk+K, blk] slice in as its grid's innermost (band) dimension — VMEM
+    stays constant in the band count."""
+    fb = bandpass_filterbank(nb_bands, taps, kind)
+    K = taps - 1
+    out = np.zeros((nb_bands * (blk + K), blk))
+    for b in range(nb_bands):
+        T = out[b * (blk + K) : (b + 1) * (blk + K)]
+        for t in range(blk):
+            for m in range(taps):
+                T[K + t - m, t] = fb[b, m]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def parseval_alt_sign() -> np.ndarray:
     """(-1)^n vector for the Nyquist-bin term of the Parseval identity."""
     s = np.ones(C.WINDOW_SIZE)

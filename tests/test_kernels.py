@@ -39,6 +39,7 @@ def test_fused_kernel_matches_xla(batch):
 
     fa_ref = np.asarray(band_energies(batch, CFG))[:, 0]
     n = np.asarray(batch.n_samples)
+    energies = np.asarray(energies)[:, 0]  # single band
     NW = energies.shape[1]
     trunc = n - n % C.WINDOW_SIZE
     nwin = -(-(trunc - C.WINDOW_SIZE) // C.TEMPO_HOP)
@@ -167,3 +168,65 @@ def test_reference5_full_scores_blocked_vs_framed(batch):
     fb = np.asarray(analyze_batch_jit(batch, cfg_b))
     ff = np.asarray(analyze_batch_jit(batch, cfg_f))
     np.testing.assert_allclose(fb, ff, atol=1e-6)
+
+
+def test_fused_multiband_matches_xla(batch):
+    """Fused kernel with the band grid dimension vs the float64 XLA truth,
+    for the firwin 3-band design and the reference's own 5x17 filterbank.
+
+    Sharp bandpass filters cancel catastrophically in float32 (the FIR
+    output is a small residual of +-0.2-tap products), so BOTH float32
+    implementations carry per-window noise up to ~1e-2 relative on the
+    attenuated bands; the fused path must be no noisier than the XLA
+    float32 path."""
+    for kwargs in (
+        dict(nb_bands=3),
+        dict(filterbank="reference5"),
+    ):
+        cfg_f = AnalysisConfig(
+            dtype="float32", amplitude_mode="poly", fused_kernel=True,
+            **kwargs,
+        )
+        cfg64 = AnalysisConfig(dtype="float64", **kwargs)
+        cfg32 = AnalysisConfig(dtype="float32", amplitude_mode="poly",
+                               **kwargs)
+        _, energies = fused_sample_stats(
+            batch.samples, batch.n_samples, interpret=True,
+            nb_bands=cfg_f.nb_bands, band_taps=cfg_f.band_taps,
+            filterbank=cfg_f.filterbank,
+        )
+        truth = np.asarray(band_energies(batch, cfg64))  # [B, NB, NBF]
+        xla32 = np.asarray(band_energies(batch, cfg32))
+        n = np.asarray(batch.n_samples)
+        en = np.asarray(energies)
+        NW = en.shape[-1]
+        trunc = n - n % C.WINDOW_SIZE
+        nwin = -(-(trunc - C.WINDOW_SIZE) // C.TEMPO_HOP)
+        wmask = np.arange(NW)[None, None, :] < nwin[:, None, None]
+        fa_k = en * wmask
+
+        def rel_err(x):
+            return np.abs(x - truth[..., :NW]) / (np.abs(truth[..., :NW]) + 1e-3)
+
+        r_fused = rel_err(fa_k)
+        r_xla = rel_err(xla32[..., :NW])
+        assert np.median(r_fused) < 1e-5, kwargs
+        assert r_fused.max() < 3e-2, (kwargs, r_fused.max())
+        assert r_fused.max() < 10 * max(r_xla.max(), 1e-5), (
+            kwargs, r_fused.max(), r_xla.max(),
+        )
+
+
+def test_fused_multiband_full_scores(batch):
+    """End-to-end analyze_batch: fused multi-band == XLA multi-band."""
+    cfg_f = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        filterbank="reference5",
+    )
+    cfg_x = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", filterbank="reference5"
+    )
+    fused = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg_f))(batch))
+    ref = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg_x))(batch))
+    np.testing.assert_allclose(fused[:, 1:], ref[:, 1:], atol=1e-3)
+    assert np.abs(fused[:, 0] - ref[:, 0]).max() < 1.0
