@@ -131,3 +131,34 @@ def test_sharded_fused_matches_single_device():
     # (documented); allow a couple of beat quanta
     dur = np.array([7.0, 6.0])
     assert (np.abs(sharded[:, 0] - single[:, 0]) <= 2.5 * 4.0 / dur).all()
+
+
+def test_sharded_fused_multiband(batch):
+    """Sequence-sharded fused Pallas path with the reference 5-band
+    filterbank (band grid dim + ring halos together)."""
+    rng = np.random.RandomState(22)
+    from conftest import synth_pcm as _sp
+
+    arrays = [_sp(rng, 150_000), _sp(rng, 140_000, amp=20000)]
+    b = PCMBatch.from_arrays(
+        [np.asarray(a) for a in arrays], [7, 6], pad_multiple=1024 * 160
+    )
+    cfg_f = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        filterbank="reference5", tempo_finish="host",
+    )
+    cfg_x = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly",
+        filterbank="reference5", tempo_finish="host",
+    )
+    from bliss_tpu.features.analyze import analyze_batch_hybrid
+
+    mesh = analysis_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = np.asarray(analyze_sharded(b, mesh, cfg_f))
+    single = np.asarray(analyze_batch_hybrid(b, cfg_x))
+    np.testing.assert_allclose(sharded[:, 1:3], single[:, 1:3], atol=1e-4)
+    # attack/tempo: f32 energy noise on attenuated bands; host finish keeps
+    # beats within a quantum here
+    np.testing.assert_allclose(sharded[:, 3], single[:, 3], rtol=2e-3)
+    dur = np.array([7.0, 6.0])
+    assert (np.abs(sharded[:, 0] - single[:, 0]) <= 1.5 * 4.0 / dur).all()
