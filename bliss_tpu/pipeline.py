@@ -194,11 +194,15 @@ def analyze_library(
 
     # --- decode stream -> buckets -> device ---------------------------------
     # Device work is dispatched asynchronously: up to `max_in_flight` batches
-    # compute/transfer while host threads keep decoding; results materialize
-    # when a later batch is dispatched (or at drain).
+    # compute/transfer while host threads keep decoding. The blocking half
+    # (device fetch + host envelope finish) runs on a background thread so
+    # the decode stream never stalls behind a device wait.
+    from concurrent.futures import ThreadPoolExecutor
+
     buckets: dict[int, list] = {}
-    in_flight: list = []  # (entries, L, finalize_callable)
+    in_flight: list = []  # (entries, L, Future[features])
     max_in_flight = 2
+    finalize_pool = ThreadPoolExecutor(max_workers=1)
 
     def dispatch_bucket(L: int, entries: list) -> None:
         pad = batch_size - len(entries)
@@ -221,15 +225,15 @@ def analyze_library(
             )
         with timer.stage("device_dispatch"):
             fin = _dispatch_analysis(batch, cfg, mesh, extended)
-        in_flight.append((entries, L, fin))
+        in_flight.append((entries, L, finalize_pool.submit(fin)))
         while len(in_flight) > max_in_flight:
             finalize_oldest()
 
     def finalize_oldest() -> None:
         nonlocal done
-        entries, L, fin = in_flight.pop(0)
+        entries, L, fut = in_flight.pop(0)
         with timer.stage("device_finalize"):
-            feats = fin()
+            feats = fut.result()
         for (i, d), row in zip(entries, feats):
             features[i] = row[:4]
             if extended:
@@ -270,6 +274,9 @@ def analyze_library(
             stream = iter_decode(
                 [files[i] for i in todo],
                 num_workers=num_decode_workers,
+                # keep ~a batch of decoded songs in flight so device waits
+                # never starve the decoders
+                prefetch=max(2, batch_size // (num_decode_workers or 1)),
                 on_error="skip",
             )
             for j, (fname, decoded) in zip(todo, stream):
@@ -296,6 +303,7 @@ def analyze_library(
     finally:
         if prev_handler is not None:
             signal.signal(signal.SIGINT, prev_handler)
+        finalize_pool.shutdown(wait=False)
         if store is not None:
             store.flush()
 
