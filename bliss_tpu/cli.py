@@ -40,13 +40,42 @@ def _collect_audio_files(paths: list[str]) -> list[str]:
     return out
 
 
+def _band_config(args):
+    """AnalysisConfig honoring --bands / --filterbank (None = defaults)."""
+    import dataclasses
+
+    from bliss_tpu.api import default_config
+
+    cfg = default_config()
+    kw = {}
+    if getattr(args, "filterbank", None):
+        kw["filterbank"] = args.filterbank
+    if getattr(args, "bands", None):
+        kw["nb_bands"] = args.bands
+    return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def _add_band_opts(parser) -> None:
+    parser.add_argument(
+        "--bands", type=int, default=None,
+        help="multi-band tempo front-end: number of firwin bands (the"
+        " reference cut multi-band 'for CPU-consumption reasons')",
+    )
+    parser.add_argument(
+        "--filterbank", default=None,
+        choices=["firwin", "reference5", "reference36"],
+        help="filterbank design; reference5/reference36 use the reference's"
+        " own coefficient tables",
+    )
+
+
 def cmd_analyze(args) -> int:
     import bliss_tpu
 
     status = 0
     for f in args.files:
         try:
-            s = bliss_tpu.analyze(f)
+            s = bliss_tpu.analyze(f, cfg=_band_config(args))
         except Exception as e:  # noqa: BLE001 - CLI reports and continues
             print(f"Couldn't analyze {f}: {e}", file=sys.stderr)
             status = 1
@@ -176,7 +205,8 @@ def cmd_scan(args) -> int:
         print(f"\r[{pct:5.1f}%] {done}/{total} {msg[:60]:60s}", end="", file=sys.stderr)
 
     result = analyze_library(
-        files, store=store, batch_size=args.batch_size, progress=progress,
+        files, cfg=_band_config(args), store=store,
+        batch_size=args.batch_size, progress=progress,
         extended=args.extended,
     )
     print("", file=sys.stderr)
@@ -221,8 +251,8 @@ def cmd_radio(args) -> int:
     files = _collect_audio_files(args.paths)
     store = FeatureStore(args.store) if args.store else None
     result = analyze_library(
-        files, store=store, batch_size=args.batch_size,
-        extended=args.extended,
+        files, cfg=_band_config(args), store=store,
+        batch_size=args.batch_size, extended=args.extended,
     )
     valid = [i for i in range(len(files)) if result.ok[i]]
     feats = result.features[valid]
@@ -264,6 +294,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--extended", action="store_true",
         help="also print the extended (ROADMAP) feature set",
     )
+    _add_band_opts(a)
     a.set_defaults(fn=cmd_analyze)
 
     d = sub.add_parser("distance", help="distance + cosine similarity of two songs")
@@ -303,6 +334,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="also compute the ROADMAP feature set (zcr, loudness, spectral"
         " moments, MFCC stats)",
     )
+    _add_band_opts(sc)
     sc.set_defaults(fn=cmd_scan)
 
     r = sub.add_parser("radio", help="k-means auto-playlists over a library")
@@ -315,6 +347,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--extended", action="store_true",
         help="cluster on the z-scored extended feature vectors",
     )
+    _add_band_opts(r)
     r.set_defaults(fn=cmd_radio)
 
     v = sub.add_parser("version", help="print versions")

@@ -146,3 +146,20 @@ def test_cli_analyze_extended(capsys, fixture_dir):
     assert "zero_crossing_rate:" in out
     assert "mfcc_0:" in out
     assert "spectral_centroid_hz:" in out
+
+
+def test_cli_analyze_filterbank_option(fixture_dir, capsys):
+    from bliss_tpu.cli import main
+
+    rc = main([
+        "analyze", os.path.join(fixture_dir, "song.flac"),
+        "--filterbank", "reference5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # multi-band attack/tempo are on a different (band-summed) scale than
+    # the 1-band parity values; amplitude/frequency are unchanged
+    fv = [l for l in out.splitlines() if l.startswith("Force vector")][0]
+    vals = [float(v) for v in fv.split("(")[1].rstrip(")").split(",")]
+    assert abs(vals[1] - (-10.641836)) < 1e-3  # amplitude unchanged
+    assert vals[3] < -100  # 5-band attack sum scale
