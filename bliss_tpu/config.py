@@ -60,9 +60,16 @@ class AnalysisConfig:
     tempo_finish: str = "device"
 
     # Use the fused Pallas sample-stats kernel (one HBM pass computes the
-    # amplitude reduction + tempo convolution partials). float32,
-    # single-band only; other configurations fall back to the XLA path.
+    # amplitude reduction + tempo convolution partials). float32 only;
+    # other configurations fall back to the XLA path.
     fused_kernel: bool = False
+
+    # Fused-kernel FIR matmul mode: "split" runs four single-pass bf16
+    # matmuls on an exact integer split of the raw samples (~1e-5 relative,
+    # MXU native rate — ~20% faster kernel); "exact" keeps the 6-pass f32
+    # matmul (~1e-7, for when every epsilon-marginal beat must match the
+    # all-f32 path).
+    fused_conv: str = "split"
 
     # Tempo filterbank: 1 band with the reference's published 17-tap filter
     # is parity mode; nb_bands > 1 enables the extended multi-band Klapuri

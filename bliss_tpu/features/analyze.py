@@ -66,6 +66,7 @@ def _fused_amp_and_energies(batch: PCMBatch, cfg: AnalysisConfig):
         nb_bands=cfg.nb_bands,
         band_taps=cfg.band_taps,
         filterbank=cfg.filterbank,
+        conv_mode=cfg.fused_conv,
     )
     amplitude = (
         jnp.float32(Cn.AMPLITUDE_SCALE) * amp_integral.astype(jnp.float32)

@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -73,12 +74,14 @@ def _kernel(
     halo_ref,  # VMEM [1, 1, 1, 128] int16: last k samples before this chunk
                # in lanes 0..k-1 (sliver, not a full-array shifted copy)
     warm_ref,  # VMEM [k, k] float32: THIS band's FIR warm-up correction
-    conv_ref,  # VMEM [BLK+k, BLK] float32: THIS band's banded FIR matrix
+    convh_ref,  # VMEM [BLK+k, BLK]: THIS band's banded FIR matrix — f32 in
+    convl_ref,  # "exact" mode (convl unused); bf16 high/residual in "split"
     out_ref,   # VMEM out [1, 1, 1, 8, NBLK] float32: rows per ROWS
     *,
     cheb,      # tuple of float coeffs (compile-time)
     halfwidth,
     conv_precision,
+    conv_mode,  # "split" (bf16x4 exact-int, MXU native rate) | "exact" (f32)
     k,         # taps - 1 (warm-up depth)
 ):
     j = pl.program_id(1)
@@ -94,36 +97,65 @@ def _kernel(
     one = jnp.float32(1.0)
     rownz = jnp.max(jnp.where(xb != 0.0, one, one * 0), axis=1)  # [NBLK]
 
-    # ---- tempo: normalize + halo-extend each hop-block row -----------------
+    # ---- tempo: halo-extend each hop-block row (RAW sample domain) ---------
     alpha = ab_ref[0, 0, 0]
     beta = ab_ref[0, 0, 1]
-    xn = xb * alpha + beta  # [NBLK, BLK]
     halo_raw = halo_ref[0, 0, :, :k].astype(jnp.float32)  # [1, k]
     # Chunk 0's history must be zero in NORMALIZED space (matching the
     # reference's zero-padded conv start) unless the caller injected a real
     # raw history (sharded mode sets halo0_valid); mid-stream chunks always
-    # normalize their raw sliver.
+    # use their raw sliver. In the raw domain "normalized zero" is the raw
+    # value -beta/alpha (non-integer; its split error is negligible and
+    # confined to the first window's warm-up lanes).
     raw_hist = (j > 0) | (ab_ref[0, 0, 2] != 0.0)
-    halo_tail = jnp.where(
-        raw_hist, halo_raw * alpha + beta, jnp.zeros_like(halo_raw)
-    )
+    v0 = -beta / alpha
+    halo_tail = jnp.where(raw_hist, halo_raw, jnp.full_like(halo_raw, v0))
     # Row-shift the per-block tails down by one (block b's history is block
     # b-1's last k samples); row 0 takes the cross-chunk halo.
     NBLK = xb.shape[0]
-    tails = pltpu.roll(xn[:, BLK - k :], shift=1, axis=0)  # [NBLK, k]
+    tails = pltpu.roll(xb[:, BLK - k :], shift=1, axis=0)  # [NBLK, k]
     rowK = jax.lax.broadcasted_iota(jnp.int32, (NBLK, k), 0)
     prev_tail = jnp.where(
         rowK == 0, jnp.broadcast_to(halo_tail, (NBLK, k)), tails
     )
-    ext = jnp.concatenate([prev_tail, xn], axis=1)  # [NBLK, k + BLK]
+    ext_raw = jnp.concatenate([prev_tail, xb], axis=1)  # [NBLK, k + BLK]
+    ext = ext_raw * alpha + beta  # normalized (used by the warm-up path)
 
-    # The causal FIR as ONE banded matmul on the MXU (measured ~2x faster
-    # than taps unaligned vector shifts on the VPU).
-    z = jnp.dot(
-        ext, conv_ref[:, :],
-        preferred_element_type=jnp.float32,
-        precision=conv_precision,
-    )
+    # The causal FIR as a banded matmul on the MXU (measured ~2x faster than
+    # taps unaligned vector shifts on the VPU). Linearity lets it run on the
+    # RAW integer samples (z = alpha*(ext_raw @ T) + beta*sum(taps)), which
+    # admit an EXACT bf16 split ext_raw = 256*a + b (a, b integer in
+    # [-128, 127]): four single-pass bf16 matmuls reach ~1e-5 relative — vs
+    # six passes for a HIGHEST f32 matmul — and the kernel-wide win is ~20%
+    # (the conv was half its runtime). "exact" keeps the f32 matmul for
+    # strict accumulation studies.
+    if conv_mode == "split":
+        a = jnp.floor((ext_raw + 128.0) * (1.0 / 256.0))
+        b = ext_raw - a * 256.0
+        a16 = a.astype(jnp.bfloat16)
+        b16 = b.astype(jnp.bfloat16)
+        dot = functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        zr = (
+            256.0 * dot(a16, convh_ref[:, :])
+            + dot(b16, convh_ref[:, :])
+            + 256.0 * dot(a16, convl_ref[:, :])
+            + dot(b16, convl_ref[:, :])
+        )
+        csum = jnp.sum(
+            convh_ref[:, :1].astype(jnp.float32)
+            + convl_ref[:, :1].astype(jnp.float32)
+        )
+        z = zr * alpha + beta * csum
+    else:
+        z = jnp.dot(
+            ext, convh_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=conv_precision,
+        )
 
     col = jax.lax.broadcasted_iota(jnp.int32, (NBLK, BLK), 1)
     alt = jnp.where(col % 2 == 0, 1.0, -1.0)  # (-1)^t within a block
@@ -157,6 +189,7 @@ def fused_stats_call(
     interpret: bool = False,
     chunk: int = DEFAULT_CHUNK,
     conv_precision=jax.lax.Precision.HIGHEST,
+    conv_mode: str = "split",
     nb_bands: int = 1,
     band_taps: int = 17,
     filterbank: str = "firwin",
@@ -218,12 +251,27 @@ def fused_stats_call(
         NB * K, K
     )
     conv = tables.conv_band_matrices(NB, band_taps, filterbank)
+    if conv_mode == "split":
+        import ml_dtypes
+
+        convh_np = conv.astype(ml_dtypes.bfloat16)
+        convl_np = (conv - convh_np.astype(np.float64)).astype(
+            ml_dtypes.bfloat16
+        )
+        convh = jnp.asarray(convh_np)
+        convl = jnp.asarray(convl_np)
+    elif conv_mode == "exact":
+        convh = jnp.asarray(conv, jnp.float32)
+        convl = jnp.zeros_like(convh)  # unused by the exact branch
+    else:
+        raise ValueError(f"unknown conv_mode {conv_mode!r}")
 
     kern = functools.partial(
         _kernel,
         cheb=tuple(float(v) for v in c_pos),
         halfwidth=float(A),
         conv_precision=conv_precision,
+        conv_mode=conv_mode,
         k=K,
     )
     out = pl.pallas_call(
@@ -248,6 +296,10 @@ def fused_stats_call(
                 (BLK + K, BLK), lambda i, j, b: (b, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (BLK + K, BLK), lambda i, j, b: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 1, 8, NBLK), lambda i, j, b: (i, j, b, 0, 0),
@@ -260,7 +312,8 @@ def fused_stats_call(
         x.reshape(B, NC * NBLK, BLK),
         halo,
         jnp.asarray(warm, jnp.float32),
-        jnp.asarray(conv, jnp.float32),
+        convh,
+        convl,
     )
 
     # [B, NC, NB, NBLK] -> [B, NB, NBF] per statistic
@@ -311,11 +364,15 @@ def trim_bounds_from_rownz(samples, rownz, L0: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "chunk", "nb_bands", "band_taps", "filterbank"),
+    static_argnames=(
+        "interpret", "chunk", "nb_bands", "band_taps", "filterbank",
+        "conv_mode",
+    ),
 )
 def fused_sample_stats(samples, n_samples, interpret: bool = False,
                        chunk: int = DEFAULT_CHUNK, nb_bands: int = 1,
-                       band_taps: int = 17, filterbank: str = "firwin"):
+                       band_taps: int = 17, filterbank: str = "firwin",
+                       conv_mode: str = "split"):
     """samples: int16 [B, L]; n_samples: int32 [B].
 
     Returns (amp_integral [B], energies [B, NB, NW]) where amp_integral is
@@ -346,6 +403,7 @@ def fused_sample_stats(samples, n_samples, interpret: bool = False,
     wsum, rownz, energies = fused_stats_call(
         samples, alpha, beta, interpret=interpret, chunk=chunk,
         nb_bands=nb_bands, band_taps=band_taps, filterbank=filterbank,
+        conv_mode=conv_mode,
     )
     start, end = trim_bounds_from_rownz(samples, rownz, L)
     trimlen = (end - start + 1).astype(jnp.float32)

@@ -226,7 +226,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
                 x_ext, alpha, beta, halo0=left16,
                 interpret=jax.default_backend() == "cpu",
                 nb_bands=cfg.nb_bands, band_taps=cfg.band_taps,
-                filterbank=cfg.filterbank,
+                filterbank=cfg.filterbank, conv_mode=cfg.fused_conv,
             )
             # Unmasked per-block weight sums over THIS shard's own blocks
             # (the ring-extension block and kernel padding are dropped),
