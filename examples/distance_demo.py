@@ -5,7 +5,11 @@ analog): Euclidean distance + cosine similarity between two files.
 Usage: python examples/distance_demo.py SONG1 SONG2
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import bliss_tpu
 

@@ -9,7 +9,11 @@ skips everything already in the store (content-fingerprinted).
 Usage: python examples/library_scan.py MUSIC_DIR [features.csv]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from bliss_tpu.cli import main
 

@@ -9,7 +9,11 @@ analyzed as device batches; the distance sort runs on device too.
 Usage: python examples/make_playlist.py SEED_SONG MUSIC_DIR [OUT.m3u]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from bliss_tpu.cli import main
 

@@ -4,7 +4,11 @@
 Usage: python examples/song_api_demo.py SONG_FILE
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import bliss_tpu
 
