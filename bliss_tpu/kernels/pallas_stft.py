@@ -63,7 +63,7 @@ def _downmix_dft_split() -> tuple[np.ndarray, np.ndarray]:
 
 
 def _kernel(nf_ref, x_ref, mh_ref, ml_ref, out_ref, *, fchunk):
-    # nf_ref: SMEM [1, 1, 2] int32 (n_frames, unused)
+    # nf_ref: SMEM [1, 1, 2] int32 (n_frames, global frame offset)
     # x_ref: VMEM [1, FCHUNK, 1024] int16 interleaved stereo frames
     # mh/ml: VMEM [1024, 512] bf16 downmix-DFT matrix (high/residual)
     # out_ref: VMEM [1, 8, 512] float32 accumulator (row 0 used)
@@ -89,7 +89,7 @@ def _kernel(nf_ref, x_ref, mh_ref, ml_ref, out_ref, *, fchunk):
     a = jnp.floor((xf + 128.0) * (1.0 / 256.0))
     b2 = xf - a * 256.0 + eps2
 
-    frame_ix = j * fchunk + jax.lax.broadcasted_iota(
+    frame_ix = nf_ref[0, 0, 1] + j * fchunk + jax.lax.broadcasted_iota(
         jnp.int32, (fchunk, 1), 0
     )
     mask = (frame_ix < nf_ref[0, 0, 0]).astype(jnp.float32)
@@ -110,10 +110,14 @@ def _kernel(nf_ref, x_ref, mh_ref, ml_ref, out_ref, *, fchunk):
 
 
 @jax.jit
-def stft_power(samples, n_samples):
+def stft_power(samples, n_samples, frame_offset=None):
     """samples: int16 [B, L] interleaved stereo; returns [B, 257] float32
     power spectra summed over the song's non-overlapping windows (the
-    Nyquist column is zero — the reference never accumulates it)."""
+    Nyquist column is zero — the reference never accumulates it).
+
+    ``frame_offset``: global index of this buffer's first window — lets a
+    sequence-sharded caller mask its LOCAL windows against the song's
+    GLOBAL frame count (parallel/mesh.py psums the partial spectra)."""
     B, L = samples.shape
     NF = L // FRAME
     x = samples[:, : NF * FRAME]
@@ -128,7 +132,14 @@ def stft_power(samples, n_samples):
     NC = NFP // FCHUNK
 
     n_frames = (n_samples // C.CHANNELS) // C.WINDOW_SIZE
-    nf = jnp.stack([n_frames, n_frames], axis=1)[:, None, :]
+    off = (
+        jnp.zeros_like(n_frames)
+        if frame_offset is None
+        else jnp.broadcast_to(
+            jnp.asarray(frame_offset, n_frames.dtype), n_frames.shape
+        )
+    )
+    nf = jnp.stack([n_frames, off], axis=1)[:, None, :]
 
     mh, ml = _downmix_dft_split()
     kern = functools.partial(_kernel, fchunk=FCHUNK)

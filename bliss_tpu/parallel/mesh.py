@@ -152,19 +152,28 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         # ---- frequency: partial power spectra + psum -----------------------
         W = C.WINDOW_SIZE
         slots_l = Ls // (W * C.CHANNELS)
-        fr = s.reshape(Bl, slots_l, W, C.CHANNELS)
-        mono = c_div(fr[..., 0] + fr[..., 1], 2)
-        hann = jnp.asarray(tables.hann_window(), dtype)
-        x = mono.astype(dtype) * hann
-        n_frames = (n // C.CHANNELS) // W
-        gslot = seq_ix * slots_l + jnp.arange(slots_l, dtype=jnp.int32)
-        fmask = gslot[None, :] < n_frames[:, None]
-        x = x * fmask[..., None].astype(dtype)
-        dre, dim = tables.rdft_matrices(zero_nyquist=True)
-        hp = jax.lax.Precision.HIGHEST
-        re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
-        im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
-        power = jax.lax.psum(jnp.sum(re * re + im * im, axis=1), "seq")
+        if use_fused:
+            # Pallas STFT-power on the local shard; the frame offset masks
+            # local windows against the song's GLOBAL frame count.
+            from bliss_tpu.kernels.pallas_stft import stft_power
+
+            power = jax.lax.psum(
+                stft_power(s16, n, frame_offset=seq_ix * slots_l), "seq"
+            ).astype(dtype)
+        else:
+            fr = s.reshape(Bl, slots_l, W, C.CHANNELS)
+            mono = c_div(fr[..., 0] + fr[..., 1], 2)
+            hann = jnp.asarray(tables.hann_window(), dtype)
+            x = mono.astype(dtype) * hann
+            n_frames = (n // C.CHANNELS) // W
+            gslot = seq_ix * slots_l + jnp.arange(slots_l, dtype=jnp.int32)
+            fmask = gslot[None, :] < n_frames[:, None]
+            x = x * fmask[..., None].astype(dtype)
+            dre, dim = tables.rdft_matrices(zero_nyquist=True)
+            hp = jax.lax.Precision.HIGHEST
+            re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
+            im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
+            power = jax.lax.psum(jnp.sum(re * re + im * im, axis=1), "seq")
 
         p = jnp.sqrt(power[:, 1:] / jnp.asarray(float(W), dtype))
         peak = jnp.max(p, axis=1, keepdims=True)
