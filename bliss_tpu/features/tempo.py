@@ -193,11 +193,11 @@ def _envelope_pipeline(fa, n, cfg):
     j = jnp.arange(2 * NBF, dtype=jnp.int32)[None, :]
     last_excluded = j <= (n2 - 2)[:, None]  # sum runs to 2*nb_frames - 2
 
-    # The band-summed envelope is smoothed; in the reference's 1-band build
-    # the pass-1 output buffer aliases band 0's envelope, whose stale values
-    # survive at the edges — generalized here as the band sum (identical for
-    # NB=1 since smoothed_sum == wa except the final slot).
-    wa_edges = wa[:, 0] if NB == 1 else jnp.sum(wa, axis=1)
+    # The band-summed envelope is smoothed; the reference's pass-1 output
+    # buffer is weighted_average[0] — BAND 0's envelope — whose stale values
+    # survive at the edge slots (reference: src/tempo_atk_sort.c:267-270,
+    # true for any NB_BANDS).
+    wa_edges = wa[:, 0]
     ss_src = jnp.sum(wa, axis=1)
     return wa, wa_edges, ss_src, last_excluded, j, n2
 
@@ -423,9 +423,10 @@ def envelope_finish_host(fa, n_samples, durations):
     atk_sum = np.sum(wa * last_excluded[:, None, :], axis=(1, 2))
 
     # Band-summed envelope; the pass-1 edge slots keep the stale values of
-    # the output buffer (band 0's envelope in the reference's 1-band build,
-    # generalized to the band sum — see _count_beats).
-    wa_edges = wa[:, 0] if NB == 1 else np.sum(wa, axis=1)
+    # the output buffer — band 0's envelope for ANY band count
+    # (reference: src/tempo_atk_sort.c:267-270 smooths into
+    # weighted_average[0]).
+    wa_edges = wa[:, 0]
     ss = np.sum(wa, axis=1) * last_excluded
     width = C.RECT_FILTER_WIDTH
     half = width // 2

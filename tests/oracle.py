@@ -264,3 +264,66 @@ def analyze_oracle(samples: np.ndarray, duration: int, channels: int = 2):
         "attack": attack,
         "force": force,
     }
+
+
+def multiband_envelope_oracle(samples, duration, fb):
+    """Literal NumPy transcription of the reference's envelope stage for an
+    arbitrary filterbank (the NB_BANDS loops of tempo_atk_sort.c:155-296):
+    per-band zero-state window FIR + FFT energies, per-band log-compress /
+    upsample / Butterworth / rectified diff / weighted average, attack =
+    sum over bands, band-summed envelope smoothed twice with the pass-1
+    output buffer aliasing BAND 0's envelope (weighted_average[0], whose
+    stale values survive at the edges), epsilon peak count. Clean float64
+    accumulation (the float32-replay quirks live in the 1-band
+    envelope_oracle). Returns (tempo, attack)."""
+    from bliss_tpu import constants as C
+
+    n_samples = samples.shape[0]
+    s = samples.astype(np.int64)
+    mean = c_trunc_div(int(s.sum()), n_samples)
+    var = c_trunc_div(int(((s - mean) ** 2).sum()), n_samples)
+    normalized = (s / 32768.0 - mean / 32768.0) / (var / 32768.0 / 32768.0)
+
+    W, half = 512, 256
+    trunc_n = n_samples - n_samples % W
+    nb_frames = trunc_n * 2 // W
+    n_windows = -(-(trunc_n - W) // half)
+    NB = fb.shape[0]
+    filtered = np.zeros((NB, nb_frames))
+    for w in range(n_windows):
+        win = normalized[w * half : w * half + W]
+        for b in range(NB):
+            X = np.fft.rfft(lfilter(fb[b], [1.0], win))
+            filtered[b, w] = np.sum(X.real**2 + X.imag**2)
+
+    n2 = 2 * nb_frames
+    lp = np.zeros((NB, n2))
+    wa = np.zeros((NB, n2))
+    for b in range(NB):
+        u = np.zeros(n2)
+        u[0::2] = np.log(1.0 + C.MU * filtered[b]) / np.log(1.0 + C.MU)
+        lp[b] = lfilter(BUTTER_B, BUTTER_A, u)
+        v = np.empty(n2)
+        v[0] = lp[b][0]
+        v[1:] = np.maximum(np.diff(lp[b]), 0.0)
+        wa[b] = C.ENV_LP_WEIGHT * lp[b] + C.ENV_DIFF_WEIGHT * v / 10.0
+
+    atk_sum = float(wa[:, : n2 - 1].sum())
+
+    ss = np.zeros(n2)
+    ss[: n2 - 1] = wa[:, : n2 - 1].sum(axis=0)
+    wa0 = rectangular_filter_oracle(wa[0].copy(), ss, n2, 19)
+    ss2 = rectangular_filter_oracle(np.zeros(n2), wa0, n2, 19)
+
+    d_prev = ss2[1:-1] - ss2[:-2]
+    d_next = ss2[1:-1] - ss2[2:]
+    beat = int(np.sum((d_prev > C.PEAK_EPSILON) & (d_next > C.PEAK_EPSILON)))
+
+    tempo = float(
+        np.float32(
+            np.float64(np.float32(np.float32(4 * np.float32(beat)) / np.float32(duration)))
+            - 30.4
+        )
+    )
+    attack = float(np.float32(-1.74 * atk_sum * 10000.0 / n_samples + 58.3))
+    return tempo, attack

@@ -230,3 +230,22 @@ def test_fused_multiband_full_scores(batch):
     ref = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg_x))(batch))
     np.testing.assert_allclose(fused[:, 1:], ref[:, 1:], atol=1e-3)
     assert np.abs(fused[:, 0] - ref[:, 0]).max() < 1.0
+
+
+def test_multiband_envelope_scores_match_literal_oracle():
+    """Full multi-band tempo+attack vs a literal NumPy transcription of the
+    reference's NB_BANDS code path (incl. the pass-1 smoothing buffer
+    aliasing band 0's envelope), using the reference's own 5x17 table."""
+    from oracle import multiband_envelope_oracle
+    from bliss_tpu.constants_filterbanks import REFERENCE5
+    from bliss_tpu.features import envelope_scores
+
+    rng = np.random.RandomState(41)
+    samples = np.asarray(synth_pcm(rng, 40_000))
+    dur = 2
+    cfg = AnalysisConfig(dtype="float64", filterbank="reference5")
+    b = PCMBatch.from_arrays([samples], [dur])
+    t_dev, a_dev = (np.asarray(x)[0] for x in envelope_scores(b, cfg))
+    t_or, a_or = multiband_envelope_oracle(samples, dur, REFERENCE5)
+    np.testing.assert_allclose(t_dev, t_or, atol=1e-5)
+    np.testing.assert_allclose(a_dev, a_or, atol=1e-5)
