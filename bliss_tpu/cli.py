@@ -9,6 +9,7 @@ Supersedes the reference's example programs (SURVEY.md §2):
   scan           — batch-analyze a library to CSV with resume + progress
                    (reference: python/examples/analyze_gui.py, sans GTK)
   radio          — k-means auto-playlists over the library (new capability)
+  store          — feature-store stats / compaction (new capability)
   version        — framework + native decoder versions
 
 Run: python -m bliss_tpu.cli <command> ...
@@ -274,6 +275,38 @@ def cmd_radio(args) -> int:
     return 0
 
 
+def cmd_store(args) -> int:
+    """Inspect / maintain a feature store (stats, compact)."""
+    from bliss_tpu.store import FeatureStore
+
+    store = FeatureStore(args.store)
+    if args.action == "stats":
+        widths = {}
+        for _, v in store.items():
+            widths[v.shape[0]] = widths.get(v.shape[0], 0) + 1
+        shards = [
+            f for f in os.listdir(args.store) if f.endswith(".npz")
+        ]
+        print(f"entries: {len(store)}")
+        print(f"shards:  {len(shards)}")
+        for w, c in sorted(widths.items()):
+            kind = "core" if w == 4 else f"core+extended({w - 4})"
+            print(f"  width {w} ({kind}): {c}")
+        return 0
+    if args.action == "compact":
+        before = len(
+            [f for f in os.listdir(args.store) if f.endswith(".npz")]
+        )
+        store.compact()
+        after = len(
+            [f for f in os.listdir(args.store) if f.endswith(".npz")]
+        )
+        print(f"compacted {before} shard(s) -> {after}")
+        return 0
+    print(f"unknown store action {args.action}", file=sys.stderr)
+    return 2
+
+
 def cmd_version(args) -> int:
     import bliss_tpu
     from bliss_tpu.io import native_version
@@ -349,6 +382,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     _add_band_opts(r)
     r.set_defaults(fn=cmd_radio)
+
+    st = sub.add_parser("store", help="feature-store maintenance")
+    st.add_argument("action", choices=["stats", "compact"])
+    st.add_argument("store", help="store directory")
+    st.set_defaults(fn=cmd_store)
 
     v = sub.add_parser("version", help="print versions")
     v.set_defaults(fn=cmd_version)

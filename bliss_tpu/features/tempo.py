@@ -362,14 +362,17 @@ def beat_metrics(
     )
     bpm = 60.0 * beat.astype(dtype) / durations.astype(dtype)
     pk = peaks.astype(dtype)
-    peak_mean = jnp.sum(r2[:, 1:-1] * pk, axis=1) / jnp.maximum(
-        jnp.sum(pk, axis=1), 1.0
-    )
+    peak_mean = jnp.sum(
+        jnp.where(peaks, r2[:, 1:-1], 0.0), axis=1
+    ) / jnp.maximum(jnp.sum(pk, axis=1), 1.0)
     midf = mid.astype(dtype)
-    env_mean = jnp.sum(r2 * midf, axis=1) / jnp.maximum(
+    env_mean = jnp.sum(jnp.where(mid, r2, 0.0), axis=1) / jnp.maximum(
         jnp.sum(midf, axis=1), 1.0
     )
     loud = peak_mean / jnp.maximum(env_mean, jnp.asarray(1e-12, dtype))
+    # degenerate songs (zero variance -> NaN envelope) report 0, matching
+    # their zero beat count rather than poisoning the extended row
+    loud = jnp.where(jnp.isfinite(loud), loud, 0.0)
     return bpm.astype(jnp.float32), loud.astype(jnp.float32)
 
 

@@ -163,3 +163,24 @@ def test_cli_analyze_filterbank_option(fixture_dir, capsys):
     vals = [float(v) for v in fv.split("(")[1].rstrip(")").split(",")]
     assert abs(vals[1] - (-10.641836)) < 1e-3  # amplitude unchanged
     assert vals[3] < -100  # 5-band attack sum scale
+
+
+def test_cli_store_stats_and_compact(fixture_dir, tmp_path, capsys):
+    from bliss_tpu.cli import main
+    from bliss_tpu.pipeline import analyze_library
+    from bliss_tpu.store import FeatureStore
+
+    store_dir = str(tmp_path / "store")
+    files = [os.path.join(fixture_dir, "song.flac"),
+             os.path.join(fixture_dir, "song_s32.flac")]
+    analyze_library(files, batch_size=1, store=FeatureStore(store_dir))
+
+    assert main(["store", "stats", store_dir]) == 0
+    out = capsys.readouterr().out
+    assert "entries: 2" in out
+
+    assert main(["store", "compact", store_dir]) == 0
+    out = capsys.readouterr().out
+    assert "-> 1" in out
+    # entries intact after compaction
+    assert len(FeatureStore(store_dir)) == 2

@@ -157,3 +157,15 @@ def test_precomputed_fa_matches_recompute():
     )
     without = np.asarray(extended_features_jit(batch, CFG))
     np.testing.assert_allclose(with_fa, without, atol=1e-12)
+
+
+def test_extended_features_silent_song_contained():
+    """Silence must produce contained (finite or documented) values, not
+    crashes: loudness floors at -200 dB, chroma normalizes safely, bpm=0."""
+    silent = np.zeros(22050 * 2 * 2, np.int16)
+    batch = PCMBatch.from_arrays([silent], [2])
+    out = np.asarray(extended_features_jit(batch, CFG))[0]
+    assert np.isfinite(out).all()
+    assert out[IDX["loudness_db"]] <= -190.0
+    assert out[IDX["bpm"]] == 0.0
+    assert out[IDX["zero_crossing_rate"]] == 0.0
