@@ -71,6 +71,12 @@ class AnalysisConfig:
     # all-f32 path).
     fused_conv: str = "split"
 
+    # Single-pass mode: ONE Pallas kernel computes amplitude + tempo + STFT
+    # power from one HBM read of the PCM (kernels/fused_all.py) instead of
+    # two kernels each streaming it. Requires fused_kernel; single-device
+    # path only (the mesh keeps the two-kernel form for its halo logic).
+    single_pass: bool = False
+
     # Tempo filterbank: 1 band with the reference's published 17-tap filter
     # is parity mode; nb_bands > 1 enables the extended multi-band Klapuri
     # front-end (tables.bandpass_filterbank) the reference cut for CPU cost.

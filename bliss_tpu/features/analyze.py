@@ -25,18 +25,68 @@ def analyze_batch(batch: PCMBatch, cfg: AnalysisConfig = DEFAULT) -> jnp.ndarray
     """[B, 4] float32 force vectors, ordered (tempo, amplitude, frequency,
     attack) like the reference force_vector_s (include/bliss.h:26-31)."""
     if _use_fused(batch, cfg):
-        from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
-
-        amplitude, fa = _fused_amp_and_energies(batch, cfg)
-        frequency = frequency_scores_fused(batch, cfg)
         from bliss_tpu.features.tempo import envelope_scores_from_energies
 
+        if cfg.single_pass:
+            amplitude, frequency, fa = _single_pass_stage(batch, cfg)
+        else:
+            from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
+
+            amplitude, fa = _fused_amp_and_energies(batch, cfg)
+            frequency = frequency_scores_fused(batch, cfg)
         tempo, attack = envelope_scores_from_energies(batch, fa, cfg)
         return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
     amplitude = amplitude_scores(batch, cfg)
     frequency = frequency_scores(batch, cfg)
     tempo, attack = envelope_scores(batch, cfg)
     return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
+
+
+def _single_pass_stage(batch: PCMBatch, cfg: AnalysisConfig):
+    """One-HBM-pass path: (amplitude, frequency, fa [B, NB, NBF])."""
+    import jax as _jax
+
+    from bliss_tpu import constants as Cn
+    from bliss_tpu.kernels.fused_all import fused_all_stats
+    from bliss_tpu.kernels.pallas_stft import frequency_scores_from_power
+
+    amp_integral, energies, power = fused_all_stats(
+        batch.samples,
+        batch.n_samples,
+        interpret=_jax.default_backend() == "cpu",
+        nb_bands=cfg.nb_bands,
+        band_taps=cfg.band_taps,
+        filterbank=cfg.filterbank,
+    )
+    amplitude = (
+        jnp.float32(Cn.AMPLITUDE_SCALE) * amp_integral.astype(jnp.float32)
+        + jnp.float32(Cn.AMPLITUDE_BIAS)
+    )
+    frequency = frequency_scores_from_power(power, cfg)
+    fa = _mask_energies(batch, energies, cfg)
+    return amplitude, frequency, fa
+
+
+def _mask_energies(batch: PCMBatch, energies, cfg: AnalysisConfig):
+    """Zero window slots past each song's count; pad/trim to NBF."""
+    from bliss_tpu import constants as Cn
+
+    W, hop = Cn.WINDOW_SIZE, Cn.TEMPO_HOP
+    n = batch.n_samples
+    NBF = batch.samples.shape[1] // hop
+    NW = energies.shape[-1]
+    trunc_n = n - n % W
+    n_windows = -((-(trunc_n - W)) // hop)
+    wmask = (
+        jnp.arange(NW, dtype=jnp.int32)[None, None, :]
+        < n_windows[:, None, None]
+    )
+    fa = energies * wmask.astype(energies.dtype)
+    if NW < NBF:
+        fa = jnp.pad(fa, ((0, 0), (0, 0), (0, NBF - NW)))
+    else:
+        fa = fa[:, :, :NBF]
+    return fa
 
 
 def _use_fused(batch: PCMBatch, cfg: AnalysisConfig) -> bool:
@@ -72,20 +122,7 @@ def _fused_amp_and_energies(batch: PCMBatch, cfg: AnalysisConfig):
         jnp.float32(Cn.AMPLITUDE_SCALE) * amp_integral.astype(jnp.float32)
         + jnp.float32(Cn.AMPLITUDE_BIAS)
     )
-    # mask windows past each song's count, pad to NBF slots
-    W, hop = Cn.WINDOW_SIZE, Cn.TEMPO_HOP
-    n = batch.n_samples
-    NBF = batch.samples.shape[1] // hop
-    NW = energies.shape[-1]
-    trunc_n = n - n % W
-    n_windows = -((-(trunc_n - W)) // hop)
-    wmask = jnp.arange(NW, dtype=jnp.int32)[None, None, :] < n_windows[:, None, None]
-    fa = energies * wmask.astype(energies.dtype)
-    if NW < NBF:
-        fa = jnp.pad(fa, ((0, 0), (0, 0), (0, NBF - NW)))
-    else:
-        fa = fa[:, :, :NBF]
-    return amplitude, fa  # [B, NB, NBF]
+    return amplitude, _mask_energies(batch, energies, cfg)  # [B, NB, NBF]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -98,6 +135,8 @@ def _device_stage(batch: PCMBatch, cfg: AnalysisConfig):
     """Jitted heavy stage for the hybrid path: amplitude + frequency scores
     plus the tempo window energies."""
     if _use_fused(batch, cfg):
+        if cfg.single_pass:
+            return _single_pass_stage(batch, cfg)
         from bliss_tpu.kernels.pallas_stft import frequency_scores_fused
 
         amplitude, fa = _fused_amp_and_energies(batch, cfg)

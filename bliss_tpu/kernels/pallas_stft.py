@@ -181,9 +181,16 @@ def stft_power(samples, n_samples, frame_offset=None):
 
 def frequency_scores_fused(batch, cfg):
     """Frequency scores using the Pallas STFT-power kernel."""
+    power = stft_power(batch.samples, batch.n_samples)
+    return frequency_scores_from_power(power, cfg)
+
+
+def frequency_scores_from_power(power, cfg):
+    """Reference band-dB scoring from accumulated power spectra [B, 257]
+    (reference: src/frequency_sort.c:97-139)."""
     dtype = cfg.jnp_dtype
     W = C.WINDOW_SIZE
-    power = stft_power(batch.samples, batch.n_samples).astype(dtype)
+    power = power.astype(dtype)
     p = jnp.sqrt(power[:, 1:] / jnp.asarray(float(W), dtype))
     peak = jnp.max(p, axis=1, keepdims=True)
     db = 20.0 * jnp.log10(p / peak) - jnp.asarray(-C.DB_ATTENUATION, dtype)

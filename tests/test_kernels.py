@@ -249,3 +249,34 @@ def test_multiband_envelope_scores_match_literal_oracle():
     t_or, a_or = multiband_envelope_oracle(samples, dur, REFERENCE5)
     np.testing.assert_allclose(t_dev, t_or, atol=1e-5)
     np.testing.assert_allclose(a_dev, a_or, atol=1e-5)
+
+
+def test_single_pass_kernel_matches_two_kernel_path(batch):
+    """kernels/fused_all (one HBM pass) == fused_stats + pallas_stft."""
+    cfg2 = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True
+    )
+    cfg1 = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        single_pass=True,
+    )
+    two = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg2))(batch))
+    one = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg1))(batch))
+    # identical kernels' math, different tiling: tiny f32 reorder noise
+    np.testing.assert_allclose(one[:, 1:], two[:, 1:], atol=1e-4)
+    assert np.abs(one[:, 0] - two[:, 0]).max() < 1.0
+
+
+def test_single_pass_multiband(batch):
+    cfg2 = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        filterbank="reference5",
+    )
+    cfg1 = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        filterbank="reference5", single_pass=True,
+    )
+    two = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg2))(batch))
+    one = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg1))(batch))
+    np.testing.assert_allclose(one[:, 1:], two[:, 1:], atol=1e-3)
+    assert np.abs(one[:, 0] - two[:, 0]).max() < 1.0
