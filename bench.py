@@ -191,9 +191,14 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as td:
         files = []
+        import shutil
+
         for i in range(512):
             p = os.path.join(td, f"song{i:04d}.flac")
-            os.link(FIXTURE, p)
+            try:
+                os.link(FIXTURE, p)  # cheap when same filesystem
+            except OSError:  # e.g. /tmp on tmpfs: cross-device link
+                shutil.copy(FIXTURE, p)
             files.append(p)
         # warm the bucket's compiled shape with a tiny scan first
         analyze_library(files[:4], cfg=cfg_h, batch_size=128)

@@ -88,10 +88,17 @@ class AnalysisConfig:
     # the reference author's own commented-out 5x17 full-spectrum / 36x33
     # fine filterbanks (reference: include/bandpass_coeffs.h:9-49, :51-482)
     # — the only external ground truth for multi-band mode. Setting one of
-    # them fills nb_bands/band_taps automatically.
+    # them fills nb_bands/band_taps automatically; note the default
+    # (nb_bands=1, band_taps=17) is indistinguishable from "unset" here, so
+    # a reference filterbank always wins over an explicit 1-band request.
     filterbank: str = "firwin"
 
     def __post_init__(self):
+        if self.single_pass and self.fused_conv != "split":
+            raise ValueError(
+                "single_pass implements only the bf16-split FIR; use the "
+                "two-kernel path (single_pass=False) with fused_conv='exact'"
+            )
         shapes = {"reference5": (5, 17), "reference36": (36, 33)}
         if self.filterbank in shapes:
             nb, taps = shapes[self.filterbank]

@@ -152,13 +152,18 @@ def _device_stage(batch: PCMBatch, cfg: AnalysisConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _device_stage_ext(batch: PCMBatch, cfg: AnalysisConfig):
-    """Hybrid device stage + extended ROADMAP features in ONE jitted
-    program, sharing a single band-energy pass (the FLOP-heavy stage)."""
+def analyze_batch_ext_jit(batch: PCMBatch, cfg: AnalysisConfig):
+    """Device-finish core + extended ROADMAP features in ONE jitted
+    program, sharing a single band-energy pass (the FLOP-heavy stage).
+    Returns [B, 4 + n_ext] float32."""
     from bliss_tpu.features.extended import extended_features
+    from bliss_tpu.features.tempo import envelope_scores_from_energies
 
     amplitude, frequency, fa = _device_stage(batch, cfg)
-    return amplitude, frequency, fa, extended_features(batch, cfg, fa=fa)
+    tempo, attack = envelope_scores_from_energies(batch, fa, cfg)
+    core = jnp.stack([tempo, amplitude, frequency, attack], axis=1)
+    ext = extended_features(batch, cfg, fa=fa)
+    return jnp.concatenate([core.astype(jnp.float32), ext], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "extended"))

@@ -66,15 +66,13 @@ def shard_batch(batch: PCMBatch, mesh: Mesh) -> PCMBatch:
     return PCMBatch(s, n, d)
 
 
-def analyze_sharded(
+def analyze_sharded_async(
     batch: PCMBatch, mesh: Mesh, cfg: AnalysisConfig = DEFAULT
-) -> jnp.ndarray:
-    """[B, 4] force vectors, computed SPMD over the mesh.
-
-    The batch is padded so songs divide the 'data' axis and the PCM length
-    divides the 'seq' axis in 1024-sample units; pad rows/columns are benign
-    (nonzero dummy songs) and sliced off the result.
-    """
+):
+    """Dispatch the SPMD analysis and return a callable that blocks for the
+    [B, 4] float32 result — the device work (and, in hybrid mode, the host
+    envelope finish) happens when the callable runs, so pipelines can keep
+    decoding while batches are in flight."""
     n_data = mesh.shape["data"]
     n_seq = mesh.shape["seq"]
     B, L = batch.samples.shape
@@ -95,20 +93,37 @@ def analyze_sharded(
         # Hybrid: the all-gathered per-window energies come back to the host
         # and the tiny envelope stage finishes in float64 (exact beat-count
         # parity on float32 meshes, same as analyze_batch_hybrid).
-        amp, freq, fa = fn(s, n, d)
-        tempo, attack = tempo_mod.envelope_finish_host(
-            np.asarray(fa)[:B], np.asarray(n)[:B], np.asarray(d)[:B]
-        )
-        return jnp.stack(
-            [
-                jnp.asarray(tempo),
-                jnp.asarray(amp)[:B],
-                jnp.asarray(freq)[:B],
-                jnp.asarray(attack),
-            ],
-            axis=1,
-        )
-    return fn(s, n, d)[:B]
+        amp, freq, fa = fn(s, n, d)  # async jax dispatch
+
+        def finish():
+            tempo, attack = tempo_mod.envelope_finish_host(
+                np.asarray(fa)[:B], np.asarray(n)[:B], np.asarray(d)[:B]
+            )
+            return np.stack(
+                [
+                    tempo,
+                    np.asarray(amp, np.float32)[:B],
+                    np.asarray(freq, np.float32)[:B],
+                    attack,
+                ],
+                axis=1,
+            )
+
+        return finish
+    out = fn(s, n, d)  # async jax dispatch
+    return lambda: np.asarray(out[:B], np.float32)
+
+
+def analyze_sharded(
+    batch: PCMBatch, mesh: Mesh, cfg: AnalysisConfig = DEFAULT
+) -> jnp.ndarray:
+    """[B, 4] force vectors, computed SPMD over the mesh.
+
+    The batch is padded so songs divide the 'data' axis and the PCM length
+    divides the 'seq' axis in 1024-sample units; pad rows/columns are benign
+    (nonzero dummy songs) and sliced off the result.
+    """
+    return jnp.asarray(analyze_sharded_async(batch, mesh, cfg)())
 
 
 @functools.lru_cache(maxsize=None)

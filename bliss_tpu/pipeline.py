@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import numpy as np
 
@@ -63,14 +64,17 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
         )
 
     if mesh is not None:
-        from bliss_tpu.parallel import analyze_sharded
+        from bliss_tpu.parallel import analyze_sharded_async
 
         if extended:
+            # extended features run unsharded on the default device; this
+            # recomputes the band-energy pass (the sharded fa stays on the
+            # mesh) — acceptable for the opt-in extended scan
             from bliss_tpu.features import extended_features_jit
 
             ext_fut = extended_features_jit(batch, cfg)
-        fut = analyze_sharded(batch, mesh, cfg)
-        return with_ext(lambda: np.asarray(fut))
+        fin = analyze_sharded_async(batch, mesh, cfg)
+        return with_ext(fin)
     if cfg.tempo_finish == "host":
         from bliss_tpu.features.analyze import (
             _device_stage_packed,
@@ -94,12 +98,15 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
             return np.concatenate([core, ext], axis=1) if extended else core
 
         return finish
+    if extended:
+        # one jitted program: core (device finish) + extended share the
+        # band-energy pass
+        from bliss_tpu.features.analyze import analyze_batch_ext_jit
+
+        fut = analyze_batch_ext_jit(batch, cfg)
+        return lambda: np.asarray(fut)
     from bliss_tpu.features import analyze_batch_jit
 
-    if extended:
-        from bliss_tpu.features import extended_features_jit
-
-        ext_fut = extended_features_jit(batch, cfg)
     fut = analyze_batch_jit(batch, cfg)
     return with_ext(lambda: np.asarray(fut))
 
@@ -271,12 +278,15 @@ def analyze_library(
 
     try:
         with timer.stage("scan"):
+            # keep ~one batch of decoded songs in flight so device waits
+            # never starve the decoders (iter_decode's window is
+            # workers * prefetch, so divide by the EFFECTIVE worker count
+            # or a many-core host would buffer workers * batch_size songs)
+            eff_workers = num_decode_workers or min(32, (os.cpu_count() or 8))
             stream = iter_decode(
                 [files[i] for i in todo],
                 num_workers=num_decode_workers,
-                # keep ~a batch of decoded songs in flight so device waits
-                # never starve the decoders
-                prefetch=max(2, batch_size // (num_decode_workers or 1)),
+                prefetch=max(2, batch_size // eff_workers),
                 on_error="skip",
             )
             for j, (fname, decoded) in zip(todo, stream):
