@@ -94,7 +94,7 @@ def main() -> None:
     from bliss_tpu.io import decode
 
     d = decode(FIXTURE)
-    B = 128
+    B = int(os.environ.get("BENCH_B", 128))
     base = np.asarray(d.samples)
     arrays = [np.roll(base, 1013 * i) for i in range(B)]
     host_batch = PCMBatch.from_arrays(arrays, [d.duration] * B)

@@ -206,3 +206,26 @@ def test_sigint_cancels_gracefully(tmp_path):
     assert signal.getsignal(signal.SIGINT) is signal.default_int_handler or (
         signal.getsignal(signal.SIGINT) is not None
     )
+
+
+def test_analyze_library_mesh_hybrid(fixture_dir):
+    """Mesh + host-finish (production mode on a pod): the async sharded
+    dispatch + background finalize must produce the same features."""
+    from bliss_tpu.parallel import analysis_mesh
+
+    files = [
+        os.path.join(fixture_dir, "song.flac"),
+        os.path.join(fixture_dir, "song_s32.flac"),
+    ]
+    mesh = analysis_mesh(4, 2)
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", tempo_finish="host"
+    )
+    r_mesh = analyze_library(files, cfg=cfg, batch_size=2, mesh=mesh)
+    r_single = analyze_library(files, cfg=cfg, batch_size=2)
+    assert r_mesh.ok.all()
+    # identical host float64 finish -> exact tempo; others f32-close
+    np.testing.assert_array_equal(
+        r_mesh.features[:, 0], r_single.features[:, 0]
+    )
+    np.testing.assert_allclose(r_mesh.features, r_single.features, atol=1e-4)
