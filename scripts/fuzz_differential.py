@@ -6,7 +6,13 @@ beat trains, sweeps, silence gaps), writes them as FLAC, analyzes each with
 the reference binary (baseline/build/analyze) and with bliss-tpu's float64
 parity mode, and reports the deviation distribution per feature.
 
-Run: python scripts/fuzz_differential.py [N]
+Run: python scripts/fuzz_differential.py [N] [parity|hybrid]
+
+"parity" (default) compares the float64 parity mode (expected deviation
+~1e-5). "hybrid" compares the PRODUCTION for_tpu() configuration — fused
+kernels (interpret on CPU) + host float64 envelope finish — where beats
+must stay exact (tempo deviation << one 4/duration quantum) and other
+features sit within the float32 gate (5e-4).
 """
 
 import sys, os
@@ -49,6 +55,7 @@ def random_song(rng, seconds, sr=22050):
 
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
     if not os.path.exists(os.path.join(BUILD, "analyze")):
         subprocess.run(
             ["bash", os.path.join(REPO, "baseline", "build_baseline.sh")],
@@ -62,6 +69,7 @@ def main():
     jax.config.update("jax_enable_x64", True)
     from bliss_tpu.config import AnalysisConfig
     from bliss_tpu.features import PCMBatch, analyze_batch_jit
+    from bliss_tpu.features.analyze import analyze_batch_hybrid
     from bliss_tpu.io import decode
     from bliss_tpu.io.flac_writer import write_flac
 
@@ -69,7 +77,13 @@ def main():
         os.environ,
         LD_LIBRARY_PATH=f"{BUILD}:{os.path.join(REPO, 'baseline', 'fftw_shim', 'lib')}",
     )
-    cfg = AnalysisConfig.for_parity()
+    if mode == "hybrid":
+        cfg = AnalysisConfig(
+            dtype="float32", amplitude_mode="poly", fused_kernel=True,
+            tempo_finish="host",
+        )
+    else:
+        cfg = AnalysisConfig.for_parity()
     rng = np.random.RandomState(1234)
     devs = []
     with tempfile.TemporaryDirectory() as tmp:
@@ -94,10 +108,18 @@ def main():
             ref = np.array([float(m.group(k)) for k in range(1, 5)])
             d = decode(path)
             batch = PCMBatch.from_arrays([np.asarray(d.samples)], [d.duration])
-            ours = np.asarray(analyze_batch_jit(batch, cfg))[0]
+            if mode == "hybrid":
+                ours = np.asarray(analyze_batch_hybrid(batch, cfg))[0]
+            else:
+                ours = np.asarray(analyze_batch_jit(batch, cfg))[0]
             dev = np.abs(ours - ref)
             devs.append(dev)
-            flag = " <-- DIVERGENT" if dev.max() > 1e-3 else ""
+            gate = 1e-3 if mode == "parity" else 5e-4 * 2
+            beat_dev = dev[0] * d.duration / 4.0  # tempo dev in beat quanta
+            divergent = (dev.max() > gate) if mode == "parity" else (
+                beat_dev > 0.01 or dev[1:].max() > gate
+            )
+            flag = " <-- DIVERGENT" if divergent else ""
             print(f"case {i:3d}: dev tempo={dev[0]:.2e} amp={dev[1]:.2e} "
                   f"freq={dev[2]:.2e} atk={dev[3]:.2e}{flag}")
     devs = np.array(devs)
