@@ -156,15 +156,19 @@ def main() -> None:
         )
 
     # --- scope 1: device-resident analysis throughput (fused kernels) ------
-    R1, R2, TRIALS = 4, 24, 3
+    # min-of-trials: the tunnel/device occasionally has multi-ms hiccups
+    # that would bias a mean upward by 10-20% run to run
+    R1, R2, TRIALS = 4, 28, 5
     float(repeated(batch, R1))  # compile
     float(repeated(batch, R2))
 
     def timed(reps):
-        t0 = time.time()
+        best = float("inf")
         for _ in range(TRIALS):
+            t0 = time.time()
             float(repeated(batch, reps))
-        return (time.time() - t0) / TRIALS
+            best = min(best, time.time() - t0)
+        return best
 
     per_batch = (timed(R2) - timed(R1)) / (R2 - R1)
     tpu_songs_per_sec = B / per_batch
