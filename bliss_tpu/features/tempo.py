@@ -389,9 +389,14 @@ def _box_sum_host(x, width):
     ) * width
 
 
-def envelope_finish_host(fa, n_samples, durations):
+def envelope_finish_host(fa, n_samples, durations, workers: int | None = None):
     """Host float64 finish of the tempo path: fa [B, NBF] (or [B, NB, NBF]
     multi-band) -> (tempo, attack).
+
+    Rows are independent, so on multi-core hosts the batch splits across a
+    thread pool (numpy/scipy release the GIL on the large ops); results are
+    bitwise identical to the single-threaded path. ``workers=None`` sizes
+    from os.cpu_count() (1 on this sandbox host — no-op here).
 
     The envelope post-processing is ~0.01% of the analyzer's FLOPs but the
     reference's epsilon-peak detection (eps=1e-6 on O(10..100) envelope
@@ -401,6 +406,8 @@ def envelope_finish_host(fa, n_samples, durations):
     giving exact beat-count parity while the heavy stages stay on device.
     All stages are vectorized over the batch (one scipy call each).
     """
+    import os as _os
+
     import numpy as np
     from scipy.signal import lfilter
 
@@ -410,6 +417,27 @@ def envelope_finish_host(fa, n_samples, durations):
     n = np.asarray(n_samples, np.int64)
     dur = np.asarray(durations, np.float64)
     B, NB, NBF = fa.shape
+
+    if workers is None:
+        workers = min(8, _os.cpu_count() or 1)
+    if workers > 1 and B >= 2 * workers:
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = np.linspace(0, B, workers + 1, dtype=int)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            parts = list(
+                pool.map(
+                    lambda se: envelope_finish_host(
+                        fa[se[0] : se[1]], n[se[0] : se[1]],
+                        dur[se[0] : se[1]], workers=1,
+                    ),
+                    zip(bounds[:-1], bounds[1:]),
+                )
+            )
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP
     n2 = 2 * nbf  # [B]
 

@@ -171,3 +171,15 @@ def test_padding_invariance(signals):
     fa = np.asarray(analyze_batch_jit(_batch([s], [3]), PARITY))
     fb = np.asarray(analyze_batch_jit(PCMBatch.from_arrays([s], [3], pad_multiple=1024 * 64), PARITY))
     np.testing.assert_allclose(fa, fb, atol=1e-9)
+
+
+def test_envelope_finish_host_chunked_is_bitwise_identical():
+    """Multi-worker host finish (real TPU-VM hosts) == single-threaded."""
+    rng = np.random.RandomState(77)
+    fa = np.abs(rng.randn(24, 1, 256)).astype(np.float32) * 50
+    n = rng.randint(30000, 65000, size=24).astype(np.int64)
+    dur = rng.randint(1, 4, size=24).astype(np.int64)
+    t1, a1 = envelope_finish_host(fa, n, dur, workers=1)
+    t4, a4 = envelope_finish_host(fa, n, dur, workers=4)
+    np.testing.assert_array_equal(t1, t4)
+    np.testing.assert_array_equal(a1, a4)
