@@ -67,12 +67,15 @@ def shard_batch(batch: PCMBatch, mesh: Mesh) -> PCMBatch:
 
 
 def analyze_sharded_async(
-    batch: PCMBatch, mesh: Mesh, cfg: AnalysisConfig = DEFAULT
+    batch: PCMBatch, mesh: Mesh, cfg: AnalysisConfig = DEFAULT,
+    extended: bool = False,
 ):
     """Dispatch the SPMD analysis and return a callable that blocks for the
-    [B, 4] float32 result — the device work (and, in hybrid mode, the host
-    envelope finish) happens when the callable runs, so pipelines can keep
-    decoding while batches are in flight."""
+    [B, 4] (or [B, 4 + n_ext] with ``extended``) float32 result — the device
+    work (and, in hybrid mode, the host envelope finish) happens when the
+    callable runs, so pipelines can keep decoding while batches are in
+    flight. Extended features compute SHARDED (psum'd frame statistics,
+    ring-halo'd zero crossings, beat metrics from the gathered energies)."""
     n_data = mesh.shape["data"]
     n_seq = mesh.shape["seq"]
     B, L = batch.samples.shape
@@ -88,18 +91,20 @@ def analyze_sharded_async(
         s = jnp.concatenate([s, dummy], axis=0)
         n = jnp.concatenate([n, jnp.full((pad_b,), 2048, n.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad_b,), d.dtype)])
-    fn = _build_sharded_fn(mesh, cfg)
+    fn = _build_sharded_fn(mesh, cfg, extended)
+    outs = fn(s, n, d)  # async jax dispatch
     if cfg.tempo_finish == "host":
         # Hybrid: the all-gathered per-window energies come back to the host
         # and the tiny envelope stage finishes in float64 (exact beat-count
         # parity on float32 meshes, same as analyze_batch_hybrid).
-        amp, freq, fa = fn(s, n, d)  # async jax dispatch
+        amp, freq, fa = outs[:3]
+        ext = outs[3] if extended else None
 
         def finish():
             tempo, attack = tempo_mod.envelope_finish_host(
                 np.asarray(fa)[:B], np.asarray(n)[:B], np.asarray(d)[:B]
             )
-            return np.stack(
+            core = np.stack(
                 [
                     tempo,
                     np.asarray(amp, np.float32)[:B],
@@ -108,10 +113,17 @@ def analyze_sharded_async(
                 ],
                 axis=1,
             )
+            if ext is None:
+                return core
+            return np.concatenate([core, np.asarray(ext)[:B]], axis=1)
 
         return finish
-    out = fn(s, n, d)  # async jax dispatch
-    return lambda: np.asarray(out[:B], np.float32)
+    if extended:
+        feats, ext = outs
+        return lambda: np.concatenate(
+            [np.asarray(feats)[:B], np.asarray(ext)[:B]], axis=1
+        ).astype(np.float32)
+    return lambda: np.asarray(outs[:B], np.float32)
 
 
 def analyze_sharded(
@@ -127,7 +139,7 @@ def analyze_sharded(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
+def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
     dtype = cfg.jnp_dtype
 
     def local_fn(s, n, dur):
@@ -166,16 +178,14 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
 
         # ---- frequency: partial power spectra + psum -----------------------
         W = C.WINDOW_SIZE
+        hp = jax.lax.Precision.HIGHEST
         slots_l = Ls // (W * C.CHANNELS)
-        if use_fused:
-            # Pallas STFT-power on the local shard; the frame offset masks
-            # local windows against the song's GLOBAL frame count.
-            from bliss_tpu.kernels.pallas_stft import stft_power
-
-            power = jax.lax.psum(
-                stft_power(s16, n, frame_offset=seq_ix * slots_l), "seq"
-            ).astype(dtype)
-        else:
+        # Extended features need the PER-FRAME spectra (rolloff/flatness/
+        # MFCC are frame-wise, energy-weighted), so with extended=True the
+        # XLA DFT path runs even in fused mode and the score reuses its
+        # summed power (one DFT pass, not two).
+        need_frames = (not use_fused) or extended
+        if need_frames:
             fr = s.reshape(Bl, slots_l, W, C.CHANNELS)
             mono = c_div(fr[..., 0] + fr[..., 1], 2)
             hann = jnp.asarray(tables.hann_window(), dtype)
@@ -184,13 +194,28 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
             gslot = seq_ix * slots_l + jnp.arange(slots_l, dtype=jnp.int32)
             fmask = gslot[None, :] < n_frames[:, None]
             x = x * fmask[..., None].astype(dtype)
-            dre, dim = tables.rdft_matrices(zero_nyquist=True)
-            hp = jax.lax.Precision.HIGHEST
+            # full spectrum for the extended features; the score's peak
+            # normalization must exclude the Nyquist bin (the reference
+            # never accumulates it) — zeroed below.
+            dre, dim = tables.rdft_matrices(zero_nyquist=not extended)
             re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
             im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
-            power = jax.lax.psum(jnp.sum(re * re + im * im, axis=1), "seq")
+            power_frames = re * re + im * im  # [Bl, slots_l, 257] local
+            power = jax.lax.psum(jnp.sum(power_frames, axis=1), "seq")
+            power_score = (
+                power.at[:, -1].set(0.0) if extended else power
+            )
+        else:
+            # Pallas STFT-power on the local shard; the frame offset masks
+            # local windows against the song's GLOBAL frame count.
+            from bliss_tpu.kernels.pallas_stft import stft_power
 
-        p = jnp.sqrt(power[:, 1:] / jnp.asarray(float(W), dtype))
+            power = jax.lax.psum(
+                stft_power(s16, n, frame_offset=seq_ix * slots_l), "seq"
+            ).astype(dtype)
+            power_score = power
+
+        p = jnp.sqrt(power_score[:, 1:] / jnp.asarray(float(W), dtype))
         peak = jnp.max(p, axis=1, keepdims=True)
         db = 20.0 * jnp.log10(p / peak) - jnp.asarray(-C.DB_ATTENUATION, dtype)
         lo, ls_, hi, hs = (
@@ -340,16 +365,31 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         # [Bl, NB, L//hop]: every device holds its songs' full energy rows
         fa = jax.lax.all_gather(energy, "seq", axis=2, tiled=True)
 
+        outs = []
         if cfg.tempo_finish == "host":
-            return amplitude, frequency, fa
-
-        tempo, attack = tempo_mod.envelope_finish_device(fa, n, dur, cfg)
-        return jnp.stack([tempo, amplitude, frequency, attack], axis=1)
+            outs = [amplitude, frequency, fa]
+        else:
+            tempo, attack = tempo_mod.envelope_finish_device(fa, n, dur, cfg)
+            outs = [jnp.stack([tempo, amplitude, frequency, attack], axis=1)]
+        if extended:
+            outs.append(
+                _extended_local(
+                    s, s16, n, dur, valid, seq_ix, n_seq, power,
+                    power_frames, fmask, fa, cfg,
+                )
+            )
+        return tuple(outs) if len(outs) > 1 else outs[0]
 
     if cfg.tempo_finish == "host":
-        out_specs = (P("data"), P("data"), P("data", None, None))
+        out_specs = [P("data"), P("data"), P("data", None, None)]
     else:
-        out_specs = P("data", None)
+        out_specs = [P("data", None)]
+    if extended:
+        out_specs.append(P("data", None))
+    if len(out_specs) == 1:
+        out_specs = out_specs[0]
+    else:
+        out_specs = tuple(out_specs)
     mapped = _shard_map_unchecked(
         local_fn,
         mesh=mesh,
@@ -357,6 +397,128 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig):
         out_specs=out_specs,
     )
     return jax.jit(mapped)
+
+
+def _extended_local(
+    s, s16, n, dur, valid, seq_ix, n_seq, power, power_frames, fmask, fa, cfg
+):
+    """Sharded extended (ROADMAP) features: [Bl, n_ext] float32, replicated
+    over 'seq'. Frame statistics psum across shards; the zero-crossing count
+    ring-exchanges a one-sample halo; beat metrics run on the gathered band
+    energies. Mirrors features/extended.py column for column."""
+    from bliss_tpu.features.extended import (
+        chroma_matrix,
+        dct_ii_matrix,
+        mel_filterbank,
+    )
+
+    dtype = cfg.jnp_dtype
+    hp = jax.lax.Precision.HIGHEST
+    W = C.WINDOW_SIZE
+    Bl, Ls = s.shape
+    nf = jnp.maximum(n.astype(dtype), 1.0)
+
+    # ---- loudness: psum of valid squared samples ---------------------------
+    sv = jnp.where(valid, s, 0).astype(dtype)
+    rms = jnp.sqrt(
+        jax.lax.psum(jnp.sum((sv / 32768.0) ** 2, axis=1), "seq") / nf
+    )
+    loudness_db = 20.0 * jnp.log10(jnp.maximum(rms, 1e-10))
+
+    # ---- zero-crossing rate with a one-sample ring halo --------------------
+    Lm = Ls // 2
+    frp = s.reshape(Bl, Lm, 2)
+    mono = c_div(frp[..., 0] + frp[..., 1], 2)
+    gm = seq_ix * Lm + jnp.arange(Lm, dtype=jnp.int32)
+    mvalid = gm[None, :] < (n // 2)[:, None]
+    mono_m = jnp.where(mvalid, mono, 0)
+    sign = jnp.where(mono_m >= 0, 1, -1)
+    flips = (
+        (sign[:, 1:] != sign[:, :-1]) & mvalid[:, 1:] & mvalid[:, :-1]
+    )
+    fwd = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+    prev_sign = jax.lax.ppermute(sign[:, -1], "seq", fwd)
+    prev_valid = jax.lax.ppermute(mvalid[:, -1], "seq", fwd)
+    boundary = (
+        (sign[:, 0] != prev_sign) & mvalid[:, 0] & prev_valid & (seq_ix > 0)
+    )
+    zcr = jax.lax.psum(
+        jnp.sum(flips, axis=1) + boundary.astype(jnp.int32), "seq"
+    ).astype(dtype) / jnp.maximum((n // 2).astype(dtype) - 1.0, 1.0)
+
+    # ---- frame-weighted spectral statistics --------------------------------
+    bins = power_frames.shape[-1]
+    bin_hz = jnp.asarray(np.arange(bins) * C.SAMPLE_RATE / W, dtype)
+    frame_energy = jnp.sum(power_frames, axis=-1)  # [Bl, slots_l]
+    total_energy = jnp.maximum(
+        jax.lax.psum(jnp.sum(frame_energy, axis=-1), "seq"), 1e-12
+    )
+    centroid = (
+        jax.lax.psum(
+            jnp.sum(jnp.sum(power_frames * bin_hz, axis=-1), axis=-1), "seq"
+        )
+        / total_energy
+    )
+    csum = jnp.cumsum(power_frames, axis=-1)
+    fe = jnp.maximum(frame_energy, 1e-12)[..., None]
+    reached = csum >= 0.95 * fe
+    roll_hz = jnp.take(bin_hz, jnp.argmax(reached, axis=-1))
+    rolloff = (
+        jax.lax.psum(jnp.sum(roll_hz * frame_energy, axis=-1), "seq")
+        / total_energy
+    )
+    eps = jnp.asarray(1e-12, dtype)
+    log_gm = jnp.sum(jnp.log(power_frames + eps), axis=-1) / bins
+    am = frame_energy / bins
+    flat_f = jnp.exp(log_gm) / jnp.maximum(am, 1e-12)
+    flatness = (
+        jax.lax.psum(jnp.sum(flat_f * frame_energy, axis=-1), "seq")
+        / total_energy
+    )
+
+    # ---- MFCC mean/std (two psum rounds: mean first, then moments) ---------
+    mel = jnp.matmul(
+        power_frames, jnp.asarray(mel_filterbank(), dtype), precision=hp
+    )
+    logmel = jnp.log(mel + eps)
+    mfcc = jnp.matmul(
+        logmel, jnp.asarray(dct_ii_matrix(), dtype), precision=hp
+    )
+    fm = fmask.astype(dtype)[..., None]
+    cnt = jnp.maximum(jax.lax.psum(jnp.sum(fm, axis=1), "seq"), 1.0)
+    mfcc_mean = jax.lax.psum(jnp.sum(mfcc * fm, axis=1), "seq") / cnt
+    mfcc_var = (
+        jax.lax.psum(
+            jnp.sum((mfcc - mfcc_mean[:, None, :]) ** 2 * fm, axis=1), "seq"
+        )
+        / cnt
+    )
+    mfcc_std = jnp.sqrt(mfcc_var)
+
+    # ---- chroma from the (already psummed) full power spectrum -------------
+    chroma = jnp.matmul(
+        power, jnp.asarray(chroma_matrix(), dtype), precision=hp
+    )
+    chroma = chroma / jnp.maximum(jnp.sum(chroma, axis=1, keepdims=True), 1e-12)
+
+    # ---- beat metrics from the gathered band energies ----------------------
+    bpm, beat_loud = tempo_mod.beat_metrics(fa, n, dur, cfg)
+
+    head = jnp.stack(
+        [
+            zcr,
+            loudness_db,
+            centroid,
+            rolloff,
+            flatness,
+            bpm.astype(dtype),
+            beat_loud.astype(dtype),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([head, mfcc_mean, mfcc_std, chroma], axis=1).astype(
+        jnp.float32
+    )
 
 
 def sharded_distance_topk(

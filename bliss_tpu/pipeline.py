@@ -53,28 +53,14 @@ class ScanResult:
 
 def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
     """Start device analysis for a batch; returns a callable that blocks and
-    yields the [B, 4(+ext)] float32 features (the async half)."""
-    ext_fut = None
-
-    def with_ext(core_fn):
-        if ext_fut is None:
-            return core_fn
-        return lambda: np.concatenate(
-            [core_fn(), np.asarray(ext_fut)], axis=1
-        )
-
+    yields the [B, 4(+ext)] float32 features (the async half). Every branch
+    runs core + extended in ONE jitted program sharing the band-energy
+    pass."""
     if mesh is not None:
         from bliss_tpu.parallel import analyze_sharded_async
 
-        if extended:
-            # extended features run unsharded on the default device; this
-            # recomputes the band-energy pass (the sharded fa stays on the
-            # mesh) — acceptable for the opt-in extended scan
-            from bliss_tpu.features import extended_features_jit
-
-            ext_fut = extended_features_jit(batch, cfg)
-        fin = analyze_sharded_async(batch, mesh, cfg)
-        return with_ext(fin)
+        # extended features compute SHARDED inside the same SPMD program
+        return analyze_sharded_async(batch, mesh, cfg, extended=extended)
     if cfg.tempo_finish == "host":
         from bliss_tpu.features.analyze import (
             _device_stage_packed,
@@ -108,7 +94,7 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
     from bliss_tpu.features import analyze_batch_jit
 
     fut = analyze_batch_jit(batch, cfg)
-    return with_ext(lambda: np.asarray(fut))
+    return lambda: np.asarray(fut)
 
 
 def _bucket_length(n: int, pad_multiple: int) -> int:

@@ -162,3 +162,60 @@ def test_sharded_fused_multiband(batch):
     np.testing.assert_allclose(sharded[:, 3], single[:, 3], rtol=2e-3)
     dur = np.array([7.0, 6.0])
     assert (np.abs(sharded[:, 0] - single[:, 0]) <= 1.5 * 4.0 / dur).all()
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_sharded_extended_matches_single_device(batch, shape):
+    """Extended features computed SPMD (psum'd frame stats, ring-halo'd
+    zero crossings, beat metrics from gathered energies) == single-device."""
+    from bliss_tpu.features import extended_features_jit
+    from bliss_tpu.parallel import analyze_sharded_async
+
+    cfg = AnalysisConfig(dtype="float64")
+    mesh = analysis_mesh(*shape)
+    out = analyze_sharded_async(batch, mesh, cfg, extended=True)()
+    single_core = np.asarray(analyze_batch_jit(batch, cfg))
+    single_ext = np.asarray(extended_features_jit(batch, cfg))
+    np.testing.assert_allclose(out[:, :4], single_core, atol=2e-6)
+    np.testing.assert_allclose(out[:, 4:], single_ext, rtol=1e-6, atol=1e-5)
+
+
+def test_sharded_extended_hybrid_fused(batch):
+    """Extended + host finish + fused kernels together on the mesh."""
+    from bliss_tpu.features import extended_features_jit
+    from bliss_tpu.features.analyze import analyze_batch_hybrid
+    from bliss_tpu.parallel import analyze_sharded_async
+
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        tempo_finish="host",
+    )
+    mesh = analysis_mesh(2, 2, devices=jax.devices()[:4])
+    out = analyze_sharded_async(batch, mesh, cfg, extended=True)()
+    single_core = np.asarray(analyze_batch_hybrid(batch, cfg))
+    single_ext = np.asarray(extended_features_jit(batch, cfg))
+    np.testing.assert_array_equal(out[:, 0], single_core[:, 0])  # beats
+    np.testing.assert_allclose(out[:, :4], single_core, atol=1e-4)
+    # bpm counts beats on-device in f32: psum reordering may flip an
+    # epsilon-marginal peak (one beat quantum = 60/duration)
+    from bliss_tpu.features import EXTENDED_FEATURE_NAMES
+
+    bpm_col = 4 + EXTENDED_FEATURE_NAMES.index("bpm")
+    bl_col = 4 + EXTENDED_FEATURE_NAMES.index("beat_loudness")
+    dur = np.array([3.0, 4.0, 4.0, 5.0])
+    assert (
+        np.abs(out[:, bpm_col] - single_ext[:, bpm_col - 4])
+        <= 1.5 * 60.0 / dur
+    ).all()
+    # beat_loudness inherits the same marginal-peak flip
+    np.testing.assert_allclose(
+        out[:, bl_col], single_ext[:, bl_col - 4], rtol=0.1
+    )
+    keep = [
+        i for i in range(out.shape[1] - 4)
+        if i not in (bpm_col - 4, bl_col - 4)
+    ]
+    # f32 psum reorder noise on the frame statistics
+    np.testing.assert_allclose(
+        out[:, 4:][:, keep], single_ext[:, keep], rtol=2e-3, atol=1e-3
+    )
