@@ -98,10 +98,14 @@ def test_analyze_library_with_mesh(fixture_dir):
     ]
     mesh = analysis_mesh(4, 2)
     cfg = AnalysisConfig(dtype="float64")
-    r_mesh = analyze_library(files, cfg=cfg, batch_size=2, mesh=mesh)
-    r_single = analyze_library(files, cfg=cfg, batch_size=2)
+    r_mesh = analyze_library(files, cfg=cfg, batch_size=2, mesh=mesh,
+                             extended=True)
+    r_single = analyze_library(files, cfg=cfg, batch_size=2, extended=True)
     assert r_mesh.ok.all()
     np.testing.assert_allclose(r_mesh.features, r_single.features, atol=2e-6)
+    np.testing.assert_allclose(
+        r_mesh.extended, r_single.extended, rtol=1e-5, atol=1e-5
+    )
 
 
 def test_analyze_library_extended(fixture_dir, tmp_path):
