@@ -194,6 +194,22 @@ def cmd_playlist(args) -> int:
     return 0
 
 
+def _parse_mesh(spec):
+    """'4' -> 4-way data parallel; '4x2' -> (data=4, seq=2) mesh."""
+    if not spec:
+        return None
+    import jax
+
+    from bliss_tpu.parallel import analysis_mesh
+
+    parts = spec.lower().split("x")
+    n_data = int(parts[0])
+    n_seq = int(parts[1]) if len(parts) > 1 else 1
+    return analysis_mesh(
+        n_data, n_seq, devices=jax.devices()[: n_data * n_seq]
+    )
+
+
 def cmd_scan(args) -> int:
     from bliss_tpu.pipeline import analyze_library
     from bliss_tpu.store import FeatureStore
@@ -208,7 +224,7 @@ def cmd_scan(args) -> int:
     result = analyze_library(
         files, cfg=_band_config(args), store=store,
         batch_size=args.batch_size, progress=progress,
-        extended=args.extended,
+        extended=args.extended, mesh=_parse_mesh(args.mesh),
     )
     print("", file=sys.stderr)
     from bliss_tpu.features import EXTENDED_FEATURE_NAMES
@@ -366,6 +382,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--extended", action="store_true",
         help="also compute the ROADMAP feature set (zcr, loudness, spectral"
         " moments, MFCC stats)",
+    )
+    sc.add_argument(
+        "--mesh", default=None,
+        help="shard analysis over a device mesh: '4' = 4-way data parallel,"
+        " '4x2' = 4 data x 2 sequence shards (multi-chip hosts)",
     )
     _add_band_opts(sc)
     sc.set_defaults(fn=cmd_scan)

@@ -184,3 +184,20 @@ def test_cli_store_stats_and_compact(fixture_dir, tmp_path, capsys):
     assert "-> 1" in out
     # entries intact after compaction
     assert len(FeatureStore(store_dir)) == 2
+
+
+def test_cli_scan_with_mesh(fixture_dir, tmp_path):
+    """--mesh shards the scan over the virtual device mesh."""
+    from bliss_tpu.cli import main
+
+    out = str(tmp_path / "f.csv")
+    rc = main([
+        "scan", os.path.join(fixture_dir, "song.flac"),
+        os.path.join(fixture_dir, "song_s32.flac"),
+        "-o", out, "--mesh", "4x2", "--batch-size", "2",
+    ])
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 songs
+    tempo = float(lines[1].split(";")[1])
+    assert abs(tempo - (-8.945454)) < 1e-3
