@@ -101,3 +101,32 @@ def test_reference_vs_bliss_tpu_on_synthetic(ref_analyze_bin, tmp_path, kind):
     np.testing.assert_allclose(ours[3], ref[3], atol=5e-4)
     # tempo is quantized in beats of 4/duration; require the same count
     np.testing.assert_allclose(ours[0], ref[0], atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["beats", "noisy"])
+def test_reference_vs_production_hybrid_mode(ref_analyze_bin, tmp_path, kind):
+    """The PRODUCTION for_tpu configuration (fused split-conv kernels,
+    interpret on CPU, host float64 finish) vs the reference binary: beats
+    must match exactly; other features within the float32 gate."""
+    from bliss_tpu.config import AnalysisConfig
+    from bliss_tpu.features.analyze import analyze_batch_hybrid
+
+    rng = np.random.RandomState(hash(kind) % 2**31 + 7)
+    frames = _synth_song(rng, 5, kind)
+    path = tmp_path / f"h_{kind}.flac"
+    write_flac(str(path), frames, 22050)
+
+    ref = _run_reference(ref_analyze_bin, str(path))
+    d = decode(str(path))
+    batch = PCMBatch.from_arrays([np.asarray(d.samples)], [d.duration])
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        tempo_finish="host",
+    )
+    ours = np.asarray(analyze_batch_hybrid(batch, cfg))[0]
+
+    # tempo: beat counts exact (deviation far below one 4/duration quantum)
+    assert abs(ours[0] - ref[0]) < 1e-4
+    np.testing.assert_allclose(ours[1], ref[1], atol=5e-4)
+    np.testing.assert_allclose(ours[2], ref[2], atol=1e-3)
+    np.testing.assert_allclose(ours[3], ref[3], atol=5e-4)
