@@ -233,3 +233,29 @@ def test_analyze_library_mesh_hybrid(fixture_dir):
         r_mesh.features[:, 0], r_single.features[:, 0]
     )
     np.testing.assert_allclose(r_mesh.features, r_single.features, atol=1e-4)
+
+
+def test_mixed_lengths_production_config(tmp_path):
+    """Short clips (XLA fallback) and longer songs (fused kernels) mix in
+    one scan under the production float32 hybrid config."""
+    from bliss_tpu.io.flac_writer import write_flac
+
+    rng = np.random.RandomState(4)
+    files = []
+    for i, frames in enumerate((11025, 22050, 80_000, 120_000)):
+        data = rng.randint(-15000, 15000, size=(frames, 2)).astype(np.int16)
+        p = str(tmp_path / f"m{i}.flac")
+        write_flac(p, data, 22050)
+        files.append(p)
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", fused_kernel=True,
+        tempo_finish="host",
+    )
+    r = analyze_library(files, cfg=cfg, batch_size=2)
+    assert r.ok.all()
+    # the 0.5-s clip has container duration 0 (whole seconds, like the
+    # reference) -> tempo = beats/0 = inf, exactly what the reference's
+    # float division produces; everything else must be finite
+    assert np.isinf(r.features[0, 0])
+    assert np.isfinite(r.features[0, 1:]).all()
+    assert np.isfinite(r.features[1:]).all()
