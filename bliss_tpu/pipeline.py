@@ -23,6 +23,7 @@ library scans.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import math
 import os
 
@@ -159,13 +160,27 @@ def analyze_library(
             progress(done, n_total, msg)
 
     # --- feature-store lookups (resume) -------------------------------------
+    # Entries are keyed by (content fingerprint, semantic config): a scan
+    # with a different filterbank/dtype/etc must re-analyze rather than
+    # silently reuse vectors computed under another configuration.
+    # Performance-only knobs (fused kernels, iir mode, padding) are
+    # excluded — they are tested equivalent.
+    cfg_key = "-".join(
+        str(v)
+        for v in (
+            cfg.dtype, cfg.amplitude_mode, cfg.tempo_energy_mode,
+            cfg.tempo_finish, cfg.nb_bands, cfg.band_taps, cfg.filterbank,
+        )
+    )
+    cfg_key = hashlib.sha1(cfg_key.encode()).hexdigest()[:8]
+
     todo: list[int] = []
     fps: dict[int, str] = {}
     if store is not None:
         with timer.stage("fingerprint"):
             for i, f in enumerate(files):
                 try:
-                    fp = file_fingerprint(f)
+                    fp = file_fingerprint(f) + "-" + cfg_key
                 except OSError as e:
                     errors[f] = f"stat/read failed: {e}"
                     continue

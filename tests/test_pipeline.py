@@ -259,3 +259,28 @@ def test_mixed_lengths_production_config(tmp_path):
     assert np.isinf(r.features[0, 0])
     assert np.isfinite(r.features[0, 1:]).all()
     assert np.isfinite(r.features[1:]).all()
+
+
+def test_store_invalidates_on_config_change(fixture_dir, tmp_path):
+    """Cached vectors from one analysis config must NOT serve a scan with a
+    different semantic config (e.g. a different filterbank)."""
+    files = [os.path.join(fixture_dir, "song.flac")]
+    store_dir = str(tmp_path / "store")
+    r1 = analyze_library(
+        files, cfg=AnalysisConfig(dtype="float64"), batch_size=1,
+        store=FeatureStore(store_dir),
+    )
+    cfg5 = AnalysisConfig(dtype="float64", filterbank="reference5")
+    r2 = analyze_library(
+        files, cfg=cfg5, batch_size=1, store=FeatureStore(store_dir)
+    )
+    # re-analyzed (no silent cache hit) and multi-band scores differ
+    assert r2.stats.get("device_dispatch", {"count": 0})["count"] > 0
+    assert abs(r2.features[0, 0] - r1.features[0, 0]) > 0.1  # tempo scale
+
+    # same config again: served from the store
+    r3 = analyze_library(
+        files, cfg=cfg5, batch_size=1, store=FeatureStore(store_dir)
+    )
+    assert r3.stats.get("device_dispatch", {"count": 0})["count"] == 0
+    np.testing.assert_allclose(r3.features, r2.features, atol=0)
