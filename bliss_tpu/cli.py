@@ -203,8 +203,20 @@ def _parse_mesh(spec):
     from bliss_tpu.parallel import analysis_mesh
 
     parts = spec.lower().split("x")
-    n_data = int(parts[0])
-    n_seq = int(parts[1]) if len(parts) > 1 else 1
+    try:
+        if len(parts) > 2:
+            raise ValueError("too many axes")
+        n_data = int(parts[0])
+        n_seq = int(parts[1]) if len(parts) > 1 else 1
+    except ValueError:
+        raise SystemExit(
+            f"--mesh {spec!r}: expected 'N' or 'NxM' (data x seq shards)"
+        )
+    have = len(jax.devices())
+    if n_data * n_seq > have:
+        raise SystemExit(
+            f"--mesh {spec!r} needs {n_data * n_seq} devices, have {have}"
+        )
     return analysis_mesh(
         n_data, n_seq, devices=jax.devices()[: n_data * n_seq]
     )

@@ -374,7 +374,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
         if extended:
             outs.append(
                 _extended_local(
-                    s, s16, n, dur, valid, seq_ix, n_seq, power,
+                    s, n, dur, valid, seq_ix, n_seq, power,
                     power_frames, fmask, fa, cfg,
                 )
             )
@@ -400,7 +400,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
 
 
 def _extended_local(
-    s, s16, n, dur, valid, seq_ix, n_seq, power, power_frames, fmask, fa, cfg
+    s, n, dur, valid, seq_ix, n_seq, power, power_frames, fmask, fa, cfg
 ):
     """Sharded extended (ROADMAP) features: [Bl, n_ext] float32, replicated
     over 'seq'. Frame statistics psum across shards; the zero-crossing count

@@ -160,19 +160,14 @@ def analyze_library(
             progress(done, n_total, msg)
 
     # --- feature-store lookups (resume) -------------------------------------
-    # Entries are keyed by (content fingerprint, semantic config): a scan
-    # with a different filterbank/dtype/etc must re-analyze rather than
-    # silently reuse vectors computed under another configuration.
-    # Performance-only knobs (fused kernels, iir mode, padding) are
-    # excluded — they are tested equivalent.
-    cfg_key = "-".join(
-        str(v)
-        for v in (
-            cfg.dtype, cfg.amplitude_mode, cfg.tempo_energy_mode,
-            cfg.tempo_finish, cfg.nb_bands, cfg.band_taps, cfg.filterbank,
-        )
-    )
-    cfg_key = hashlib.sha1(cfg_key.encode()).hexdigest()[:8]
+    # Entries are keyed by (content fingerprint, analysis config): a scan
+    # with a different filterbank/dtype/kernel path must re-analyze rather
+    # than silently reuse vectors from another configuration — even
+    # "equivalent" float32 paths can flip an epsilon-marginal beat. Only
+    # pad_multiple is excluded (padding invariance is exact, tested).
+    cfg_fields = dataclasses.asdict(cfg)
+    cfg_fields.pop("pad_multiple", None)
+    cfg_key = hashlib.sha1(repr(sorted(cfg_fields.items())).encode()).hexdigest()[:8]
 
     todo: list[int] = []
     fps: dict[int, str] = {}

@@ -56,6 +56,8 @@ def random_song(rng, seconds, sr=22050):
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
+    if mode not in ("parity", "hybrid"):
+        raise SystemExit(f"unknown mode {mode!r}: use 'parity' or 'hybrid'")
     if not os.path.exists(os.path.join(BUILD, "analyze")):
         subprocess.run(
             ["bash", os.path.join(REPO, "baseline", "build_baseline.sh")],
