@@ -54,9 +54,13 @@ class AnalysisConfig:
     strict_accumulation: bool = False
 
     # Where the tempo envelope finish (log-compress -> Butterworth -> peak
-    # count) runs: "device" keeps the whole pipeline in one jitted program;
-    # "host" runs the tiny [B, ~2*nb_frames] finish in float64 NumPy for
-    # exact beat-count parity on backends without float64 (TPU).
+    # count) runs: "device" keeps the whole pipeline in one jitted program
+    # in the working dtype (float32 may flip epsilon-marginal beats);
+    # "device_exact" also stays on device but runs the finish in
+    # double-single arithmetic (features/tempo_exact.py) for float64-grade
+    # beat exactness — the production mode; "host" fetches the energies and
+    # finishes in float64 NumPy (the pre-round-3 hybrid, kept for
+    # cross-validation and hosts where the fetch is free).
     tempo_finish: str = "device"
 
     # Use the fused Pallas sample-stats kernel (one HBM pass computes the
@@ -94,6 +98,11 @@ class AnalysisConfig:
     filterbank: str = "firwin"
 
     def __post_init__(self):
+        if self.tempo_finish not in ("device", "device_exact", "host"):
+            raise ValueError(
+                f"unknown tempo_finish {self.tempo_finish!r}: use 'device', "
+                "'device_exact', or 'host'"
+            )
         if self.single_pass and self.fused_conv != "split":
             raise ValueError(
                 "single_pass implements only the bf16-split FIR; use the "

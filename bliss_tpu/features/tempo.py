@@ -207,7 +207,16 @@ def envelope_finish_device(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """On-device envelope finish: fa [B, NB, NBF], n/durations [B] ->
     ([B] tempo, [B] attack) in float32. Shared by the single-device and
-    sharded (parallel/mesh.py) paths."""
+    sharded (parallel/mesh.py) paths.
+
+    tempo_finish="device_exact" routes to the double-single implementation
+    (features/tempo_exact.py) — float64-grade beat exactness with only f32
+    device ops; "device" is the plain working-dtype finish (epsilon-marginal
+    peaks may flip in float32)."""
+    if cfg.tempo_finish == "device_exact":
+        from bliss_tpu.features.tempo_exact import envelope_finish_device_exact
+
+        return envelope_finish_device_exact(fa, n, durations, cfg)
     dtype = cfg.jnp_dtype
     wa, wa_edges, ss_src, last_excluded, j, n2 = _envelope_pipeline(fa, n, cfg)
 

@@ -243,7 +243,9 @@ def parseval_alt_sign() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def iir_block_operator(block: int = 256) -> tuple[np.ndarray, ...]:
+def iir_block_operator(
+    block: int = 256, kind: str = "butter"
+) -> tuple[np.ndarray, ...]:
     """Dense block operator (L, Z, M, N) for the Butterworth low-pass.
 
     For a block of T inputs u and incoming direct-form-II-transposed state z
@@ -252,10 +254,19 @@ def iir_block_operator(block: int = 256) -> tuple[np.ndarray, ...]:
     L [T,T] lower-triangular Toeplitz of the impulse response; Z [T,6] the
     zero-input responses; M [6,T] state response to each in-block impulse;
     N [6,6] the state transition. Computed with scipy.signal.lfilter probes.
+
+    ``kind``: "butter" is the full (BUTTER_B, BUTTER_A) filter; "recursive"
+    is the pure-AR solve (b=[1], same denominator) — the A^-1 operator used
+    by the double-single iterative-refinement filter (dsp.iir.lfilter_dd).
     """
     from scipy.signal import lfilter
 
-    b, a = C.BUTTER_B, C.BUTTER_A
+    if kind == "butter":
+        b, a = C.BUTTER_B, C.BUTTER_A
+    elif kind == "recursive":
+        b, a = np.array([1.0]), C.BUTTER_A
+    else:
+        raise ValueError(f"unknown iir operator kind {kind!r}")
     order = len(a) - 1
     T = block
 
