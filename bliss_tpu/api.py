@@ -36,14 +36,15 @@ from bliss_tpu.sim import cosine_similarity as _cosine_fn
 
 def default_config() -> AnalysisConfig:
     """Best available accuracy on the current backend: float64 parity mode
-    when x64 is enabled (CPU), float32 + host envelope finish otherwise
-    (with the fused Pallas kernels on accelerator backends)."""
+    when x64 is enabled (CPU), float32 with the beat-exact double-single
+    device finish otherwise (with the fused Pallas kernels on accelerator
+    backends)."""
     if jax.config.read("jax_enable_x64"):
         return AnalysisConfig.for_parity()
     if jax.default_backend() == "cpu":
         # pallas only runs interpreted on CPU — far too slow for real use
         return AnalysisConfig(
-            dtype="float32", amplitude_mode="poly", tempo_finish="host"
+            dtype="float32", amplitude_mode="poly", tempo_finish="device_exact"
         )
     return AnalysisConfig.for_tpu()
 

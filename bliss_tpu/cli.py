@@ -50,7 +50,11 @@ def _band_config(args):
     cfg = default_config()
     kw = {}
     if getattr(args, "filterbank", None):
+        # reset the resolved shape so the new filterbank re-resolves it
+        # (an explicit conflicting --bands still errors in __post_init__)
         kw["filterbank"] = args.filterbank
+        kw["nb_bands"] = None
+        kw["band_taps"] = None
     if getattr(args, "bands", None):
         kw["nb_bands"] = args.bands
     return dataclasses.replace(cfg, **kw) if kw else cfg
@@ -125,7 +129,9 @@ def cmd_ml_analyze(args) -> int:
     from bliss_tpu.io import probe
 
     files = _collect_audio_files(args.files)
-    result = analyze_library(files, batch_size=args.batch_size)
+    result = analyze_library(
+        files, batch_size=args.batch_size, mesh=_parse_mesh(args.mesh)
+    )
     out = open(args.output, "w") if args.output else sys.stdout
     try:
         for i, f in enumerate(files):
@@ -172,6 +178,14 @@ def cmd_detect_gapless(args) -> int:
     return 0
 
 
+def _add_mesh_opt(parser) -> None:
+    parser.add_argument(
+        "--mesh", default=None,
+        help="shard analysis over a device mesh: '4' = 4-way data parallel,"
+        " '4x2' = 4 data x 2 sequence shards (multi-chip hosts)",
+    )
+
+
 def cmd_playlist(args) -> int:
     from bliss_tpu.pipeline import analyze_library
     from bliss_tpu.sim import playlist_order
@@ -181,7 +195,10 @@ def cmd_playlist(args) -> int:
     if args.seed not in files:
         files = [args.seed] + files
     store = FeatureStore(args.store) if args.store else None
-    result = analyze_library(files, store=store, batch_size=args.batch_size)
+    result = analyze_library(
+        files, store=store, batch_size=args.batch_size,
+        mesh=_parse_mesh(args.mesh),
+    )
     valid = [i for i in range(len(files)) if result.ok[i]]
     feats = result.features[valid]
     seed_pos = valid.index(files.index(args.seed))
@@ -282,6 +299,7 @@ def cmd_radio(args) -> int:
     result = analyze_library(
         files, cfg=_band_config(args), store=store,
         batch_size=args.batch_size, extended=args.extended,
+        mesh=_parse_mesh(args.mesh),
     )
     valid = [i for i in range(len(files)) if result.ok[i]]
     feats = result.features[valid]
@@ -368,6 +386,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("-o", "--output", default=None)
     m.add_argument("--tags", action="store_true", help="use title tags")
     m.add_argument("--batch-size", type=int, default=16)
+    _add_mesh_opt(m)
     m.set_defaults(fn=cmd_ml_analyze)
 
     g = sub.add_parser("detect-gapless", help="detect gapless album transitions")
@@ -383,6 +402,7 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--length", type=int, default=None)
     pl.add_argument("--store", default=None, help="feature store dir (resume)")
     pl.add_argument("--batch-size", type=int, default=16)
+    _add_mesh_opt(pl)
     pl.set_defaults(fn=cmd_playlist)
 
     sc = sub.add_parser("scan", help="batch-analyze a library to CSV (resumable)")
@@ -395,11 +415,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="also compute the ROADMAP feature set (zcr, loudness, spectral"
         " moments, MFCC stats)",
     )
-    sc.add_argument(
-        "--mesh", default=None,
-        help="shard analysis over a device mesh: '4' = 4-way data parallel,"
-        " '4x2' = 4 data x 2 sequence shards (multi-chip hosts)",
-    )
+    _add_mesh_opt(sc)
     _add_band_opts(sc)
     sc.set_defaults(fn=cmd_scan)
 
@@ -413,6 +429,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--extended", action="store_true",
         help="cluster on the z-scored extended feature vectors",
     )
+    _add_mesh_opt(r)
     _add_band_opts(r)
     r.set_defaults(fn=cmd_radio)
 

@@ -84,17 +84,18 @@ class AnalysisConfig:
     # Tempo filterbank: 1 band with the reference's published 17-tap filter
     # is parity mode; nb_bands > 1 enables the extended multi-band Klapuri
     # front-end (tables.bandpass_filterbank) the reference cut for CPU cost.
-    nb_bands: int = 1
-    band_taps: int = 17
+    # None means "unset": resolved to the filterbank's own shape (or 1/17
+    # for firwin) in __post_init__, so an EXPLICIT nb_bands that conflicts
+    # with a fixed reference filterbank is detectable and rejected.
+    nb_bands: int | None = None
+    band_taps: int | None = None
 
     # Multi-band filterbank design: "firwin" designs a fresh log-spaced
     # scipy filterbank for any nb_bands; "reference5" / "reference36" select
     # the reference author's own commented-out 5x17 full-spectrum / 36x33
     # fine filterbanks (reference: include/bandpass_coeffs.h:9-49, :51-482)
     # — the only external ground truth for multi-band mode. Setting one of
-    # them fills nb_bands/band_taps automatically; note the default
-    # (nb_bands=1, band_taps=17) is indistinguishable from "unset" here, so
-    # a reference filterbank always wins over an explicit 1-band request.
+    # them fills nb_bands/band_taps automatically.
     filterbank: str = "firwin"
 
     def __post_init__(self):
@@ -111,16 +112,23 @@ class AnalysisConfig:
         shapes = {"reference5": (5, 17), "reference36": (36, 33)}
         if self.filterbank in shapes:
             nb, taps = shapes[self.filterbank]
-            if (self.nb_bands, self.band_taps) == (1, 17):
-                object.__setattr__(self, "nb_bands", nb)
-                object.__setattr__(self, "band_taps", taps)
-            elif (self.nb_bands, self.band_taps) != (nb, taps):
+            if self.nb_bands not in (None, nb) or self.band_taps not in (
+                None,
+                taps,
+            ):
                 raise ValueError(
                     f"filterbank={self.filterbank!r} is a fixed "
-                    f"{nb}x{taps} design; leave nb_bands/band_taps at their "
-                    "defaults or set them to match"
+                    f"{nb}x{taps} design; leave nb_bands/band_taps unset "
+                    "(None) or set them to match"
                 )
-        elif self.filterbank != "firwin":
+            object.__setattr__(self, "nb_bands", nb)
+            object.__setattr__(self, "band_taps", taps)
+        elif self.filterbank == "firwin":
+            if self.nb_bands is None:
+                object.__setattr__(self, "nb_bands", 1)
+            if self.band_taps is None:
+                object.__setattr__(self, "band_taps", 17)
+        else:
             raise ValueError(f"unknown filterbank {self.filterbank!r}")
 
     # Sequence padding multiple for batched analysis. Must be a multiple of
@@ -143,8 +151,22 @@ class AnalysisConfig:
 
     @staticmethod
     def for_tpu() -> "AnalysisConfig":
-        """Fast float32 production mode: fused Pallas kernels on device,
-        exact beat-count finish on the host."""
+        """Fast float32 production mode: fused Pallas kernels + the
+        double-single envelope finish, all on device — beat-exact with no
+        host float64 stage (validated beat-exact vs the reference binary on
+        the 50-case differential fuzz, round 3)."""
+        return AnalysisConfig(
+            dtype="float32",
+            amplitude_mode="poly",
+            tempo_finish="device_exact",
+            fused_kernel=True,
+        )
+
+    @staticmethod
+    def for_tpu_hybrid() -> "AnalysisConfig":
+        """The pre-round-3 production mode: device heavy stages + host
+        float64 envelope finish. Kept for cross-validation and for hosts
+        where device dispatch is expensive relative to a fetch."""
         return AnalysisConfig(
             dtype="float32",
             amplitude_mode="poly",

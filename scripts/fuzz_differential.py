@@ -6,11 +6,12 @@ beat trains, sweeps, silence gaps), writes them as FLAC, analyzes each with
 the reference binary (baseline/build/analyze) and with bliss-tpu's float64
 parity mode, and reports the deviation distribution per feature.
 
-Run: python scripts/fuzz_differential.py [N] [parity|hybrid]
+Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact]
 
 "parity" (default) compares the float64 parity mode (expected deviation
-~1e-5). "hybrid" compares the PRODUCTION for_tpu() configuration — fused
-kernels (interpret on CPU) + host float64 envelope finish — where beats
+~1e-5). "hybrid" compares the fused-kernel configuration with the host
+float64 envelope finish; "device_exact" the production round-3 mode where
+the finish runs ON DEVICE in double-single arithmetic — in both, beats
 must stay exact (tempo deviation << one 4/duration quantum) and other
 features sit within the float32 gate (5e-4).
 """
@@ -56,8 +57,10 @@ def random_song(rng, seconds, sr=22050):
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
-    if mode not in ("parity", "hybrid"):
-        raise SystemExit(f"unknown mode {mode!r}: use 'parity' or 'hybrid'")
+    if mode not in ("parity", "hybrid", "device_exact"):
+        raise SystemExit(
+            f"unknown mode {mode!r}: use 'parity', 'hybrid', or 'device_exact'"
+        )
     if not os.path.exists(os.path.join(BUILD, "analyze")):
         subprocess.run(
             ["bash", os.path.join(REPO, "baseline", "build_baseline.sh")],
@@ -83,6 +86,11 @@ def main():
         cfg = AnalysisConfig(
             dtype="float32", amplitude_mode="poly", fused_kernel=True,
             tempo_finish="host",
+        )
+    elif mode == "device_exact":
+        cfg = AnalysisConfig(
+            dtype="float32", amplitude_mode="poly", fused_kernel=True,
+            tempo_finish="device_exact",
         )
     else:
         cfg = AnalysisConfig.for_parity()
@@ -112,7 +120,7 @@ def main():
             batch = PCMBatch.from_arrays([np.asarray(d.samples)], [d.duration])
             if mode == "hybrid":
                 ours = np.asarray(analyze_batch_hybrid(batch, cfg))[0]
-            else:
+            else:  # parity and device_exact are both fully jitted paths
                 ours = np.asarray(analyze_batch_jit(batch, cfg))[0]
             dev = np.abs(ours - ref)
             devs.append(dev)

@@ -154,6 +154,12 @@ def test_filterbank_config_validation():
         AnalysisConfig(filterbank="reference5", nb_bands=3)
     with pytest.raises(ValueError):
         AnalysisConfig(filterbank="nope")
+    # an EXPLICIT 1-band request with a fixed reference filterbank is a
+    # conflict, not a silent override (None-sentinel defaults make it
+    # detectable)
+    with pytest.raises(ValueError):
+        AnalysisConfig(filterbank="reference5", nb_bands=1, band_taps=17)
+    assert (AnalysisConfig().nb_bands, AnalysisConfig().band_taps) == (1, 17)
 
 
 def test_reference5_full_scores_blocked_vs_framed(batch):

@@ -71,6 +71,21 @@ def test_sharded_hybrid_matches_single_device_hybrid(batch):
     np.testing.assert_allclose(sharded, single, atol=1e-4)
 
 
+def test_sharded_device_exact_matches_single_device(batch):
+    """tempo_finish='device_exact' on the mesh: the double-single finish
+    runs per-shard on the all-gathered energies; beats must equal the
+    single-device device_exact path exactly (which itself equals the host
+    float64 finish, tests/test_tempo_exact.py)."""
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", tempo_finish="device_exact"
+    )
+    mesh = analysis_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = np.asarray(analyze_sharded(batch, mesh, cfg))
+    single = np.asarray(analyze_batch_jit(batch, cfg))
+    np.testing.assert_array_equal(sharded[:, 0], single[:, 0])  # exact beats
+    np.testing.assert_allclose(sharded, single, atol=1e-4)
+
+
 @pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
 def test_sharded_multiband_matches_single_device(batch, shape):
     """nb_bands=5 (the extended Klapuri front-end) under sequence sharding:
