@@ -6,8 +6,18 @@ flushing one CSV row per song (reference: python/examples/analyze_gui.py:
 hash of the audio file, so interrupted library scans skip completed work,
 renamed files keep their analysis, and re-encoded files re-analyze.
 
-Layout: one NPZ shard per store flush + a JSON index; loads are merged into
-an in-memory dict. Small (4 floats/song), so a 100k-song library is ~2 MB.
+Layout (scales to 100k+ songs with O(dirty) flushes):
+- ``shard-*.npz``            one NPZ per flush (keys + feature rows)
+- ``shards.jsonl``           append-only shard index, one line per shard
+- ``meta.jsonl``             append-only metadata, one JSON line per put;
+                             later lines win on reload
+- flushes therefore APPEND everywhere — no O(N) rewrite per batch (the
+  pre-round-3 layout rewrote a monolithic meta.json each flush, quadratic
+  over a long scan). ``compact()`` merges shards and dedups the logs;
+  ``flush`` auto-compacts past ``auto_compact_shards``.
+
+Legacy stores (index.json + meta.json) load transparently and convert to
+the append-only layout on the next compact().
 """
 
 from __future__ import annotations
@@ -43,25 +53,43 @@ def file_fingerprint(path: str, quick: bool = True) -> str:
 class FeatureStore:
     """Persistent {fingerprint: (force_vector, metadata)} map."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, auto_compact_shards: int = 64):
         self.path = path
+        self.auto_compact_shards = auto_compact_shards
         os.makedirs(path, exist_ok=True)
         self._lock = threading.Lock()
         self._features: dict[str, np.ndarray] = {}
         self._meta: dict[str, dict] = {}
         self._dirty: set[str] = set()
+        self._dirty_meta: set[str] = set()
+        self._shards: list[str] = []
         self._load()
 
-    def _index_path(self) -> str:
-        return os.path.join(self.path, "index.json")
+    # --- paths ---------------------------------------------------------------
+
+    def _shard_log(self) -> str:
+        return os.path.join(self.path, "shards.jsonl")
+
+    def _meta_log(self) -> str:
+        return os.path.join(self.path, "meta.jsonl")
+
+    # --- load ----------------------------------------------------------------
 
     def _load(self) -> None:
-        idx = self._index_path()
-        if not os.path.exists(idx):
-            return
-        with open(idx) as f:
-            index = json.load(f)
-        for shard in index.get("shards", []):
+        shards: list[str] = []
+        legacy_idx = os.path.join(self.path, "index.json")
+        if os.path.exists(legacy_idx):
+            with open(legacy_idx) as f:
+                shards.extend(json.load(f).get("shards", []))
+        if os.path.exists(self._shard_log()):
+            with open(self._shard_log()) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        shards.append(json.loads(line)["shard"])
+        seen = set()
+        self._shards = [s for s in shards if not (s in seen or seen.add(s))]
+        for shard in self._shards:
             p = os.path.join(self.path, shard)
             if not os.path.exists(p):
                 continue
@@ -70,10 +98,20 @@ class FeatureStore:
                 feats = z["features"]
             for k, v in zip(keys, feats):
                 self._features[str(k)] = v
-        mp = os.path.join(self.path, "meta.json")
-        if os.path.exists(mp):
-            with open(mp) as f:
+        legacy_meta = os.path.join(self.path, "meta.json")
+        if os.path.exists(legacy_meta):
+            with open(legacy_meta) as f:
                 self._meta = json.load(f)
+        if os.path.exists(self._meta_log()):
+            with open(self._meta_log()) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    self._meta[rec.pop("_key")] = rec
+
+    # --- map interface -------------------------------------------------------
 
     def __contains__(self, key: str) -> bool:
         return key in self._features
@@ -89,11 +127,15 @@ class FeatureStore:
             self._features[key] = np.asarray(features, np.float32)
             if meta:
                 self._meta[key] = meta
+                self._dirty_meta.add(key)
             self._dirty.add(key)
 
+    # --- persistence ---------------------------------------------------------
+
     def flush(self) -> None:
-        """Write pending entries as a new shard + update the index
-        atomically (write-then-rename)."""
+        """Persist pending entries: one new shard + appended log lines.
+        Cost is O(dirty entries), independent of store size. Auto-compacts
+        when the shard count passes ``auto_compact_shards``."""
         with self._lock:
             if not self._dirty:
                 return
@@ -102,59 +144,65 @@ class FeatureStore:
             shard = f"shard-{int(time.time() * 1000):x}-{len(keys)}.npz"
             tmp = os.path.join(self.path, shard + ".tmp")
             with open(tmp, "wb") as f:
-                np.savez_compressed(
-                    f, keys=np.array(keys), features=feats
-                )
+                np.savez_compressed(f, keys=np.array(keys), features=feats)
             os.replace(tmp, os.path.join(self.path, shard))
 
-            idx = self._index_path()
-            index = {"shards": []}
-            if os.path.exists(idx):
-                with open(idx) as f:
-                    index = json.load(f)
-            index.setdefault("shards", []).append(shard)
-            tmp = idx + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(index, f)
-            os.replace(tmp, idx)
+            with open(self._shard_log(), "a") as f:
+                f.write(json.dumps({"shard": shard}) + "\n")
+            self._shards.append(shard)
 
-            mp = os.path.join(self.path, "meta.json")
-            with open(mp + ".tmp", "w") as f:
-                json.dump(self._meta, f)
-            os.replace(mp + ".tmp", mp)
+            if self._dirty_meta:
+                with open(self._meta_log(), "a") as f:
+                    for k in sorted(self._dirty_meta):
+                        f.write(
+                            json.dumps({"_key": k, **self._meta[k]}) + "\n"
+                        )
+                self._dirty_meta.clear()
             self._dirty.clear()
 
+            need_compact = len(self._shards) > self.auto_compact_shards
+        if need_compact:
+            self.compact()
+
     def compact(self) -> None:
-        """Merge all shards into one."""
+        """Merge all shards into one; dedup + rewrite the logs; drop any
+        legacy index.json/meta.json."""
         with self._lock:
             if not self._features:
                 return
             keys = sorted(self._features)
             feats = np.stack([self._features[k] for k in keys])
-            shard = f"shard-compact-{len(keys)}.npz"
+            shard = f"shard-compact-{int(time.time() * 1000):x}-{len(keys)}.npz"
             with open(os.path.join(self.path, shard + ".tmp"), "wb") as f:
                 np.savez_compressed(f, keys=np.array(keys), features=feats)
             os.replace(
                 os.path.join(self.path, shard + ".tmp"),
                 os.path.join(self.path, shard),
             )
-            old = []
-            idx = self._index_path()
-            if os.path.exists(idx):
-                with open(idx) as f:
-                    old = json.load(f).get("shards", [])
-            with open(idx + ".tmp", "w") as f:
-                json.dump({"shards": [shard]}, f)
-            os.replace(idx + ".tmp", idx)
-            for s in old:
-                if s != shard:
-                    try:
-                        os.remove(os.path.join(self.path, s))
-                    except OSError:
-                        pass
+            old = [s for s in self._shards if s != shard]
+            with open(self._shard_log() + ".tmp", "w") as f:
+                f.write(json.dumps({"shard": shard}) + "\n")
+            os.replace(self._shard_log() + ".tmp", self._shard_log())
+            self._shards = [shard]
+
+            with open(self._meta_log() + ".tmp", "w") as f:
+                for k in sorted(self._meta):
+                    f.write(json.dumps({"_key": k, **self._meta[k]}) + "\n")
+            os.replace(self._meta_log() + ".tmp", self._meta_log())
+            self._dirty_meta.clear()
+
+            for stale in old + ["index.json", "meta.json"]:
+                try:
+                    os.remove(os.path.join(self.path, stale))
+                except OSError:
+                    pass
 
     def items(self):
         return self._features.items()
 
     def metadata(self, key: str) -> dict:
         return self._meta.get(key, {})
+
+    @property
+    def shard_count(self) -> int:
+        return len(self._shards)

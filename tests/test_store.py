@@ -1,0 +1,98 @@
+"""FeatureStore scaling behavior: O(dirty) flushes via append-only logs,
+auto-compaction, and transparent migration of the legacy layout."""
+
+import json
+import os
+
+import numpy as np
+
+from bliss_tpu.store import FeatureStore
+
+
+def _fill(store, start, count, width=4, meta=True):
+    for i in range(start, start + count):
+        store.put(
+            f"key{i:08d}",
+            np.full(width, float(i), np.float32),
+            {"filename": f"f{i}.flac"} if meta else None,
+        )
+
+
+def test_flush_appends_only(tmp_path):
+    """A flush after N entries must not rewrite existing metadata: the log
+    grows by exactly the dirty lines (the legacy meta.json rewrite was
+    O(store) per flush — quadratic over a scan)."""
+    s = FeatureStore(str(tmp_path))
+    _fill(s, 0, 1000)
+    s.flush()
+    meta_log = os.path.join(str(tmp_path), "meta.jsonl")
+    size_after_first = os.path.getsize(meta_log)
+    with open(meta_log) as f:
+        head = f.read(256)
+
+    _fill(s, 1000, 10)
+    s.flush()
+    grown = os.path.getsize(meta_log) - size_after_first
+    assert 0 < grown < 1024  # ~10 lines, NOT a rewrite of 1010
+    with open(meta_log) as f:
+        assert f.read(256) == head  # prefix untouched -> appended
+
+    s2 = FeatureStore(str(tmp_path))
+    assert len(s2) == 1010
+    assert s2.metadata("key00001005")["filename"] == "f1005.flac"
+
+
+def test_auto_compact_bounds_shard_count(tmp_path):
+    s = FeatureStore(str(tmp_path), auto_compact_shards=8)
+    for b in range(12):
+        _fill(s, 100 * b, 100)
+        s.flush()
+    assert s.shard_count <= 9
+    npz = [f for f in os.listdir(str(tmp_path)) if f.endswith(".npz")]
+    assert len(npz) == s.shard_count
+    s2 = FeatureStore(str(tmp_path))
+    assert len(s2) == 1200
+    assert np.all(s2.get("key00000042") == 42.0)
+
+
+def test_large_store_flush_is_flat(tmp_path):
+    """100k entries: per-flush wall time must not scale with store size.
+    Structural check (file sizes) + a generous wall-clock sanity bound."""
+    import time
+
+    s = FeatureStore(str(tmp_path), auto_compact_shards=10**6)
+    _fill(s, 0, 100_000, meta=False)
+    t0 = time.time()
+    s.flush()  # first flush: everything dirty
+    first = time.time() - t0
+
+    _fill(s, 100_000, 128, meta=False)
+    t0 = time.time()
+    s.flush()
+    second = time.time() - t0
+    assert second < max(0.5, first / 20)
+
+    s2 = FeatureStore(str(tmp_path))
+    assert len(s2) == 100_128
+
+
+def test_legacy_layout_migrates(tmp_path):
+    """A store written with the pre-round-3 layout (index.json + meta.json)
+    loads, and compact() converts it to the append-only layout."""
+    p = str(tmp_path)
+    keys = np.array(["a", "b"])
+    feats = np.stack([np.arange(4, dtype=np.float32)] * 2)
+    with open(os.path.join(p, "shard-legacy.npz"), "wb") as f:
+        np.savez_compressed(f, keys=keys, features=feats)
+    with open(os.path.join(p, "index.json"), "w") as f:
+        json.dump({"shards": ["shard-legacy.npz"]}, f)
+    with open(os.path.join(p, "meta.json"), "w") as f:
+        json.dump({"a": {"filename": "a.flac"}}, f)
+
+    s = FeatureStore(p)
+    assert len(s) == 2 and s.metadata("a")["filename"] == "a.flac"
+    s.compact()
+    assert not os.path.exists(os.path.join(p, "index.json"))
+    assert not os.path.exists(os.path.join(p, "meta.json"))
+    s2 = FeatureStore(p)
+    assert len(s2) == 2 and s2.metadata("a")["filename"] == "a.flac"
