@@ -80,3 +80,34 @@ def test_kmeans_clusters_separated_data():
     assert len(set(assign[:50])) == 1
     assert len(set(assign[50:])) == 1
     assert assign[0] != assign[50]
+
+
+def test_kmeanspp_deterministic_and_seed_robust():
+    """k-means++ init: same seed -> identical output; across seeds the
+    well-separated clustering must be recovered EVERY time (uniform init
+    could collapse two seeds into one blob — the luck the ++ init removes)."""
+    rng = np.random.RandomState(11)
+    blobs = [rng.randn(40, 4) * 0.2 + mu for mu in
+             (np.array([8, 0, 0, 0]), np.array([-8, 0, 0, 0]),
+              np.array([0, 8, 0, 0]))]
+    f = jnp.asarray(np.concatenate(blobs))
+    c1, a1 = kmeans(f, k=3, seed=5)
+    c2, a2 = kmeans(f, k=3, seed=5)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    for seed in range(8):
+        _, assign = kmeans(f, k=3, seed=seed)
+        assign = np.asarray(assign)
+        labels = [set(assign[i * 40 : (i + 1) * 40]) for i in range(3)]
+        assert all(len(s) == 1 for s in labels)
+        assert len(set().union(*labels)) == 3
+
+
+def test_kmeans_convergence_stop_matches_long_run():
+    rng = np.random.RandomState(4)
+    f = jnp.asarray(rng.randn(300, 4))
+    c_tol, _ = kmeans(f, k=5, iters=500, seed=1, tol=1e-6)
+    c_more, _ = kmeans(f, k=5, iters=501, seed=1, tol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(c_tol), np.asarray(c_more), atol=1e-5
+    )
