@@ -370,6 +370,10 @@ def beat_metrics(
         ss_src, wa_edges, last_excluded, j, n2, cfg, return_aux=True
     )
     bpm = 60.0 * beat.astype(dtype) / durations.astype(dtype)
+    # duration<=0 songs: the CORE tempo=inf is pinned reference behavior,
+    # but the extended columns are a new surface — report 0 instead of
+    # poisoning z-scored clustering (radio --extended), like beat_loudness.
+    bpm = jnp.where(jnp.isfinite(bpm), bpm, 0.0)
     pk = peaks.astype(dtype)
     peak_mean = jnp.sum(
         jnp.where(peaks, r2[:, 1:-1], 0.0), axis=1

@@ -88,20 +88,30 @@ class _BtDecoded(ctypes.Structure):
     ]
 
 
-def _ensure_built() -> str:
-    """Build the native library on first use if missing or stale."""
-    src = os.path.join(_NATIVE_DIR, "decoder.cc")
-    stale = not os.path.exists(_LIB_PATH) or (
+def _is_stale(src: str) -> bool:
+    return not os.path.exists(_LIB_PATH) or (
         os.path.exists(src)
         and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
     )
-    if stale:
+
+
+def _ensure_built() -> str:
+    """Build the native library on first use if missing or stale.
+
+    Staleness is re-checked under the lock so concurrent first-use threads
+    run make once; the Makefile builds to a temp name and renames, so a
+    concurrent *process* dlopen()ing the library never sees a partial file
+    (and make itself resolves the double-build to a no-op rename race at
+    worst)."""
+    src = os.path.join(_NATIVE_DIR, "decoder.cc")
+    if _is_stale(src):
         with _build_lock:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-            )
+            if _is_stale(src):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                )
     return _LIB_PATH
 
 

@@ -259,6 +259,9 @@ def analyze_library(
 
     sigint_seen = threading.Event()
     prev_handler = None
+    handler_installed = False  # signal.signal can RETURN None (handler
+    # installed outside Python), so track installation separately to
+    # restore unconditionally
 
     def _on_sigint(signum, frame):
         if sigint_seen.is_set():  # second Ctrl-C: abort for real
@@ -271,6 +274,7 @@ def analyze_library(
 
     if handle_sigint and threading.current_thread() is threading.main_thread():
         prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+        handler_installed = True
 
     try:
         with timer.stage("scan"):
@@ -307,8 +311,11 @@ def analyze_library(
             while in_flight:
                 finalize_oldest()
     finally:
-        if prev_handler is not None:
-            signal.signal(signal.SIGINT, prev_handler)
+        if handler_installed:
+            signal.signal(
+                signal.SIGINT,
+                prev_handler if prev_handler is not None else signal.SIG_DFL,
+            )
         finalize_pool.shutdown(wait=False)
         if store is not None:
             store.flush()

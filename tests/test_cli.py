@@ -84,6 +84,21 @@ def test_cli_scan_and_playlist(capsys, library, tmp_path):
     assert len(entries) == 4
 
 
+def test_cli_playlist_meshed(capsys, library, tmp_path):
+    """--mesh on playlist (round 3: the mesh is reachable from every
+    library command, not just scan)."""
+    m3u = tmp_path / "p.m3u"
+    rc = main([
+        "playlist", str(library / "song.flac"), str(library),
+        "-o", str(m3u), "--batch-size", "2", "--mesh", "2x2",
+    ])
+    assert rc == 0
+    entries = m3u.read_text().strip().splitlines()
+    assert entries[0] == "#EXTM3U"
+    assert entries[1].endswith("song.flac")
+    assert len(entries) == 4
+
+
 def test_cli_radio(capsys, library, tmp_path):
     rc = main([
         "radio", str(library), "--clusters", "2",
