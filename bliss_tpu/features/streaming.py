@@ -1,0 +1,337 @@
+"""Chunked analysis for arbitrarily long songs with O(1) compiled shapes.
+
+The reference streams any song length through constant-state loops
+(reference: src/tempo_atk_sort.c:117-154, src/decode.c:352-374). The
+whole-shape TPU path instead pads each song to a bucketed length and
+compiles per bucket — fine up to a few minutes of audio, but an 11-minute
+song (L~29M interleaved samples) is its own giant shape costing a fresh
+multi-minute compile through this sandbox's tunnel (CLAUDE.md).
+
+This module runs the same analysis over FIXED-SIZE chunks with carried
+state, so one compiled (chunk) shape serves every song length:
+
+- pass 1 (one chunked sweep): amplitude weighted-dot partials + global
+  trim bounds, frequency power-spectrum accumulation, and the tempo
+  normalization sums. The C-exact integer statistics stream losslessly:
+  the wrapping int32 sum is order-independent (mod 2^32), and the exact
+  int64 sums of s and s^2 are reassembled on the host from per-256-sample
+  int32 sub-block sums (bounded by 2^23/2^24 — no device int64 needed),
+  with the variance recovered exactly via
+  sum((s-mean)^2) = sum(s^2) - 2*mean*sum(s) + n*mean^2 (int64 identity,
+  valid for ANY constant mean, including C's wrapped int mean).
+- pass 2 (second chunked sweep, after mean/var are known): the blockwise
+  Parseval window energies. Each chunk is given a (taps-1)-sample history
+  prefix and a hop-sample lookahead, which makes every window's energy
+  computable entirely inside one chunk — the global convolution values are
+  bit-identical to the whole-shape program because the FIR is causal with
+  reach taps-1.
+- finish: the assembled [NB, NBF] energies (tiny — L/256 floats) run
+  through the float64 host envelope finish, i.e. exact beat counts.
+
+The amplitude trim is handled by summing over ALL valid samples and then
+subtracting weight(0) times the count of trimmed leading/trailing zeros
+(the trimmed samples are zeros by definition, so their total contribution
+is exactly that).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bliss_tpu import constants as C
+from bliss_tpu import tables
+from bliss_tpu.config import AnalysisConfig
+from bliss_tpu.dsp.intops import c_div
+
+# Default chunk: 2^22 interleaved samples (~95 s of stereo audio, 8 MB).
+DEFAULT_CHUNK = 1 << 22
+
+_SUB = 256  # sub-block for exact integer partial sums
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _pass1_chunk(chunk: jnp.ndarray, base: jnp.ndarray, n: jnp.ndarray, cfg: AnalysisConfig):
+    """One [CH] int16 chunk -> streaming partials (see module docstring).
+
+    base: global index of chunk[0]; n: song's true sample count.
+    """
+    dtype = cfg.jnp_dtype
+    CH = chunk.shape[0]
+    s = chunk.astype(jnp.int32)
+    gidx = base + jnp.arange(CH, dtype=jnp.int32)
+    valid = gidx < n
+    sv = jnp.where(valid, s, 0)
+
+    # --- amplitude weighted dot over valid samples -------------------------
+    if cfg.amplitude_mode == "table":
+        w = jnp.asarray(tables.amplitude_weight_table(), dtype)
+        wv = jnp.take(w, s + (1 << 15), axis=0)
+    else:  # poly (gather-free) — same evaluator as features/amplitude.py
+        A, _, c_pos = tables.amplitude_cdf_poly()
+        c_pos = [jnp.asarray(v, dtype) for v in c_pos]
+
+        def chebval(t, coeffs):
+            b1 = jnp.zeros_like(t)
+            b2 = jnp.zeros_like(t)
+            for ck in coeffs[:0:-1]:
+                b1, b2 = ck + 2.0 * t * b1 - b2, b1
+            return coeffs[0] + t * b1 - b2
+
+        def T(m):
+            neg = m < 0
+            mf = jnp.where(neg, -m - 1.0, m)
+            tp = jnp.clip((2.0 * mf - A) / A, -1.0, 1.0)
+            val = chebval(tp, c_pos)
+            val = jnp.where(mf >= A, 1.0, val)
+            return jnp.where(neg, 1.0 - val, val)
+
+        wv = T(1000.0 - jnp.abs(s.astype(dtype) + 1.0))
+    amp_dot = jnp.sum(wv * valid.astype(dtype))
+
+    nz = (sv != 0) & valid
+    any_nz = jnp.any(nz)
+    first = jnp.where(any_nz, base + jnp.argmax(nz).astype(jnp.int32), jnp.int32(2**31 - 1))
+    last = jnp.where(
+        any_nz, base + CH - 1 - jnp.argmax(nz[::-1]).astype(jnp.int32), jnp.int32(-1)
+    )
+
+    # --- tempo normalization partials --------------------------------------
+    sum_wrap = jnp.sum(sv, dtype=jnp.int32)  # wrapping, order-free mod 2^32
+    sub = sv.reshape(CH // _SUB, _SUB)
+    sub_s = jnp.sum(sub, axis=1, dtype=jnp.int32)  # |.| <= 2^23
+    s2 = sv * sv  # <= 2^30, exact int32
+    sub_lo = jnp.sum(
+        (s2 & 0xFFFF).reshape(CH // _SUB, _SUB), axis=1, dtype=jnp.int32
+    )  # <= 2^24
+    sub_hi = jnp.sum(
+        (s2 >> 16).reshape(CH // _SUB, _SUB), axis=1, dtype=jnp.int32
+    )  # <= 2^22
+
+    # --- frequency power accumulation --------------------------------------
+    W = C.WINDOW_SIZE
+    fpc = CH // (W * C.CHANNELS)
+    fr = chunk.reshape(fpc, W, C.CHANNELS).astype(jnp.int32)
+    mono = c_div(fr[..., 0] + fr[..., 1], 2)
+    hann = jnp.asarray(tables.hann_window(), dtype)
+    x = mono.astype(dtype) * hann
+    n_frames = (n // C.CHANNELS) // W
+    gframe = base // (W * C.CHANNELS) + jnp.arange(fpc, dtype=jnp.int32)
+    fmask = gframe < n_frames
+    x = x * fmask[:, None].astype(dtype)
+    dre, dim = tables.rdft_matrices(zero_nyquist=True)
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
+    im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
+    power = jnp.sum(re * re + im * im, axis=0)  # [W//2+1]
+
+    return amp_dot, first, last, sum_wrap, sub_s, sub_lo, sub_hi, power
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _pass2_chunk(
+    seg: jnp.ndarray,
+    base: jnp.ndarray,
+    n: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    cfg: AnalysisConfig,
+):
+    """Window energies for one chunk: seg = [K history | CH payload | hop
+    lookahead] int16 -> [NB, CH//hop] energies, bit-matching the
+    whole-shape blocked Parseval program on the same samples."""
+    dtype = cfg.jnp_dtype
+    K = cfg.band_taps - 1
+    hop = C.TEMPO_HOP
+    W = C.WINDOW_SIZE
+    CH = seg.shape[0] - K - hop
+    nblk = CH // hop + 1  # payload blocks + lookahead block
+
+    s = seg.astype(jnp.int32)
+    gidx = (base - K) + jnp.arange(seg.shape[0], dtype=jnp.int32)
+    valid = (gidx >= 0) & (gidx < n)
+
+    inv = jnp.asarray(1.0 / (1 << 15), dtype)
+    mean_d = mean.astype(dtype) * inv
+    var_d = var.astype(dtype) * inv * inv
+    norm = (s.astype(dtype) * inv - mean_d) / var_d
+    norm = jnp.where(valid, norm, 0.0)  # [K + CH + hop]
+
+    fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps, cfg.filterbank)
+    NB = fb.shape[0]
+    L = CH + hop  # conv output region (history drives the first K samples)
+    bands = []
+    for b in range(NB):
+        z = jnp.zeros((L,), dtype)
+        for m in range(fb.shape[1]):
+            z = z + jnp.asarray(fb[b, m], dtype) * norm[K - m : K - m + L]
+        bands.append(z)
+    z = jnp.stack(bands, axis=0)  # [NB, L]
+
+    alt = jnp.asarray(tables.parseval_alt_sign()[:hop], dtype)
+    zb = z.reshape(NB, nblk, hop)
+    S2 = jnp.sum(zb * zb, axis=-1)
+    S1 = jnp.sum(zb, axis=-1)
+    SA = jnp.sum(zb * alt, axis=-1)
+
+    # K-sample history before each block (raw norm) + block's first K z.
+    hist = norm[:L].reshape(nblk, hop)[:, :K]  # norm[K..] shifted back K
+    zh = zb[..., :K]
+    M = jnp.asarray(
+        tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps, cfg.filterbank),
+        dtype,
+    )
+    delta = jnp.einsum("wk,njk->nwj", hist, M)
+    altK = alt[:K]
+    d_s2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
+    d_s1 = jnp.sum(delta, axis=-1)
+    d_sa = jnp.sum(delta * altK, axis=-1)
+
+    NW = nblk - 1  # = CH // hop windows fully computable in this chunk
+    sum_y2 = S2[:, :NW] + S2[:, 1:] + d_s2[:, :NW]
+    sum_y = S1[:, :NW] + S1[:, 1:] + d_s1[:, :NW]
+    sum_a = SA[:, :NW] + SA[:, 1:] + d_sa[:, :NW]
+    return (W / 2) * sum_y2 + (sum_y * sum_y + sum_a * sum_a) / 2.0
+
+
+def analyze_song_streaming(
+    samples: np.ndarray,
+    duration: int,
+    cfg: AnalysisConfig,
+    chunk_samples: int = DEFAULT_CHUNK,
+) -> np.ndarray:
+    """Analyze ONE song of arbitrary length with fixed [chunk] compiled
+    shapes; returns the [4] float32 force vector (tempo, amplitude,
+    frequency, attack). Beat counts are float64-exact (host finish).
+
+    Unsupported in this path (falls back to whole-shape in the pipeline):
+    strict_accumulation and amplitude_mode='iterative' (parity-test-only
+    modes whose sequential accumulation orders are inherently whole-shape).
+    """
+    if cfg.strict_accumulation or cfg.amplitude_mode == "iterative":
+        raise ValueError(
+            "streaming path does not support the strict parity modes"
+        )
+    if chunk_samples % (C.WINDOW_SIZE * C.CHANNELS):
+        raise ValueError("chunk_samples must be a multiple of 1024")
+
+    samples = np.ascontiguousarray(np.asarray(samples, np.int16))
+    n = int(samples.shape[0])
+    CH = int(chunk_samples)
+    n_chunks = max(1, -(-n // CH))
+    K = cfg.band_taps - 1
+    hop = C.TEMPO_HOP
+
+    n_j = jnp.asarray(np.int32(n))
+
+    # --- pass 1 -------------------------------------------------------------
+    amp_dot = 0.0
+    first, last = 2**31 - 1, -1
+    sum_wrap = 0  # python int kept wrapped to int32 range by hand
+    sum_s = 0
+    sum_s2 = 0
+    power = np.zeros(C.WINDOW_SIZE // 2 + 1, np.float64)
+    for ci in range(n_chunks):
+        lo = ci * CH
+        payload = samples[lo : lo + CH]
+        if payload.shape[0] < CH:
+            payload = np.pad(payload, (0, CH - payload.shape[0]))
+        out = _pass1_chunk(
+            jnp.asarray(payload), jnp.asarray(np.int32(lo)), n_j, cfg
+        )
+        a, f, l, sw, ss, slo, shi, pw = (np.asarray(o) for o in out)
+        amp_dot += float(a)
+        first = min(first, int(f))
+        last = max(last, int(l))
+        v = (sum_wrap + int(sw)) & 0xFFFFFFFF  # wrapping int32, like C
+        sum_wrap = v - (1 << 32) if v >= (1 << 31) else v
+        sum_s += int(ss.astype(np.int64).sum())
+        sum_s2 += int(shi.astype(np.int64).sum()) * 65536 + int(
+            slo.astype(np.int64).sum()
+        )
+        power += pw.astype(np.float64)
+
+    # --- host: scalar statistics -------------------------------------------
+    mean = _c_div_int(sum_wrap, max(n, 1))
+    var_num = sum_s2 - 2 * mean * sum_s + n * mean * mean  # exact int64 id.
+    var = _c_div_int(var_num, max(n, 1))
+
+    # amplitude: subtract weight(0) * (count of trimmed leading/trailing 0s)
+    if first > last:  # all-zero song
+        first, last = 0, max(n - 1, 0)
+    w0 = float(tables.amplitude_weight_table()[1 << 15])
+    trimmed = first + (n - 1 - last)
+    span = max(last - first, 1)
+    integral = (amp_dot - w0 * trimmed) * 100.0 / span
+    amplitude = np.float32(
+        np.float32(C.AMPLITUDE_SCALE) * np.float32(integral)
+        + np.float32(C.AMPLITUDE_BIAS)
+    )
+
+    # frequency: peak-relative dB + band score on the accumulated spectrum
+    frequency = _frequency_score_from_power(power)
+
+    # --- pass 2 + envelope finish ------------------------------------------
+    from bliss_tpu.features.tempo import envelope_finish_host
+
+    mean_j = jnp.asarray(np.int32(mean))
+    var_j = jnp.asarray(np.float32(var))
+    energies = []
+    for ci in range(n_chunks):
+        lo = ci * CH
+        seg = np.zeros(K + CH + hop, np.int16)
+        pre = samples[max(lo - K, 0) : lo]
+        seg[K - pre.shape[0] : K] = pre
+        payload = samples[lo : lo + CH + hop]
+        seg[K : K + payload.shape[0]] = payload
+        e = _pass2_chunk(
+            jnp.asarray(seg), jnp.asarray(np.int32(lo)), n_j, mean_j, var_j, cfg
+        )
+        energies.append(np.asarray(e))
+    fa = np.concatenate(energies, axis=1)[None]  # [1, NB, n_chunks*CH//hop]
+
+    # window mask (same formula as the whole-shape path)
+    trunc_n = n - n % C.WINDOW_SIZE
+    n_windows = max(-(-(trunc_n - C.WINDOW_SIZE) // hop), 0)
+    fa[:, :, n_windows:] = 0.0
+
+    tempo, attack = envelope_finish_host(
+        fa, np.array([n], np.int64), np.array([duration], np.float64)
+    )
+    return np.array(
+        [tempo[0], amplitude, frequency, attack[0]], np.float32
+    )
+
+
+def _c_div_int(a: int, b: int) -> int:
+    """C integer division (truncate toward zero) on python ints."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _frequency_score_from_power(power: np.ndarray) -> np.float32:
+    """Band score from the accumulated power spectrum (host float64;
+    mirrors features/frequency.py past the accumulation)."""
+    W = C.WINDOW_SIZE
+    p = np.sqrt(power[1:] / float(W))
+    peak = max(float(np.max(p)), 1e-300)
+    with np.errstate(divide="ignore"):
+        db = 20.0 * np.log10(p / peak) - (-C.DB_ATTENUATION)
+    d = lambda k: db[k - 1]  # noqa: E731
+    b0 = (d(2) + d(4)) / 2.0
+    b1 = (d(6) + d(8)) / 2.0
+    lo, ls, hi, hs = (
+        C.FREQ_LOW_INF,
+        C.FREQ_LOW_SUP,
+        C.FREQ_HIGH_INF,
+        C.FREQ_HIGH_SUP,
+    )
+    b2 = np.sum(db[lo - 1 : ls]) / (ls - lo)
+    b3 = np.sum(db[ls:hi]) / (hi - (ls + 1))
+    b4 = np.sum(db[hi:hs]) / (hs - (hi + 1))
+    score = b4 + b3 + b2 - b0 - b1
+    return np.float32(C.FREQUENCY_SCALE * score + C.FREQUENCY_BIAS)

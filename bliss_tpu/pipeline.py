@@ -120,8 +120,16 @@ def analyze_library(
     extended: bool = False,
     cancel=None,
     handle_sigint: bool = True,
+    long_song_samples: int | None = 1 << 23,
 ) -> ScanResult:
     """Analyze a library of audio files; returns features in input order.
+
+    Songs longer than ``long_song_samples`` interleaved samples (~3 min at
+    the default 2^23) are analyzed via the chunked streaming path
+    (features/streaming.py): fixed compiled shapes regardless of length, so
+    an 11-minute song no longer costs its own giant-shape compile. The
+    parity/strict modes, extended features, and meshed scans keep the
+    whole-shape path (pass ``long_song_samples=None`` to force it always).
 
     progress: optional callback (done, total, message). With
     ``extended=True`` the ROADMAP feature set (zcr, loudness, spectral
@@ -296,6 +304,42 @@ def analyze_library(
                     errors[files[j]] = "decode failed"
                     done += 1
                     _progress(f"skipped {files[j]}")
+                    continue
+                if (
+                    long_song_samples is not None
+                    and decoded.n_samples > long_song_samples
+                    and not extended
+                    and mesh is None
+                    and not cfg.strict_accumulation
+                    and cfg.amplitude_mode != "iterative"
+                ):
+                    from bliss_tpu.features.streaming import (
+                        analyze_song_streaming,
+                    )
+
+                    with timer.stage("streaming"):
+                        row = analyze_song_streaming(
+                            np.asarray(decoded.samples),
+                            decoded.duration,
+                            cfg,
+                            chunk_samples=long_song_samples,
+                        )
+                    features[j] = row
+                    ok[j] = True
+                    done += 1
+                    if store is not None and j in fps:
+                        store.put(
+                            fps[j],
+                            row,
+                            {
+                                "filename": files[j],
+                                "title": decoded.title,
+                                "artist": decoded.artist,
+                            },
+                        )
+                    _progress(
+                        f"analyzed long song streamed (n={decoded.n_samples})"
+                    )
                     continue
                 L = _bucket_length(decoded.n_samples, cfg.pad_multiple)
                 buckets.setdefault(L, []).append((j, decoded))

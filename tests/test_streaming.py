@@ -1,0 +1,141 @@
+"""Chunked long-song streaming vs the whole-shape program and the
+reference binary. The reference streams any length in O(1) state
+(reference: src/tempo_atk_sort.c:117-154); the chunked path must agree
+with the whole-shape result — beats exactly — while compiling only
+fixed chunk shapes."""
+
+import os
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import synth_pcm
+from bliss_tpu import constants as C
+from bliss_tpu.config import AnalysisConfig
+from bliss_tpu.features import PCMBatch
+from bliss_tpu.features.analyze import analyze_batch_hybrid
+from bliss_tpu.features.streaming import analyze_song_streaming
+
+CFG = AnalysisConfig(dtype="float32", amplitude_mode="poly", tempo_finish="host")
+
+
+@pytest.fixture(scope="module")
+def song():
+    rng = np.random.RandomState(21)
+    # ~40 s of structured audio (beats + tones + noise + silence gaps)
+    sr = 22050
+    n = sr * 40
+    t = np.arange(n)
+    sig = (
+        6000 * np.sin(2 * np.pi * 220 * t / sr)
+        + 2500 * np.sin(2 * np.pi * 1300 * t / sr)
+        + rng.randn(n) * 800
+    )
+    phase = (t * 120 / 60 / sr) % 1.0
+    sig *= 0.35 + 0.65 * (phase < 0.3)
+    sig[: sr // 5] = 0  # leading zeros: exercises the trim correction
+    sig[5 * sr : 5 * sr + sr // 3] = 0
+    left = np.clip(sig, -32767, 32767).astype(np.int16)
+    right = np.clip(sig * 0.8, -32767, 32767).astype(np.int16)
+    inter = np.empty(2 * n, np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    return inter, n // sr
+
+
+def _beats(tempo, duration):
+    return np.round((tempo - C.TEMPO_BIAS) * duration / C.TEMPO_SCALE)
+
+
+def test_streaming_matches_whole_shape(song):
+    samples, dur = song
+    whole = np.asarray(
+        analyze_batch_hybrid(PCMBatch.from_arrays([samples], [dur]), CFG)
+    )[0]
+    streamed = analyze_song_streaming(samples, dur, CFG, chunk_samples=1 << 18)
+    assert _beats(streamed[0], dur) == _beats(whole[0], dur)  # exact beats
+    assert abs(streamed[1] - whole[1]) < 1e-3  # amplitude (trim-corrected)
+    assert abs(streamed[2] - whole[2]) < 1e-3  # frequency
+    assert abs(streamed[3] - whole[3]) < 1e-3  # attack
+
+
+def test_streaming_chunk_size_invariant(song):
+    samples, dur = song
+    a = analyze_song_streaming(samples, dur, CFG, chunk_samples=1 << 18)
+    b = analyze_song_streaming(samples, dur, CFG, chunk_samples=1 << 20)
+    assert _beats(a[0], dur) == _beats(b[0], dur)
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_streaming_vs_reference_binary(song, tmp_path):
+    """The strongest oracle: the reference's own analyze binary on the same
+    audio. Beats must match exactly."""
+    build = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "baseline",
+        "build",
+    )
+    analyze_bin = os.path.join(build, "analyze")
+    if not os.path.exists(analyze_bin):
+        pytest.skip("reference baseline binary not built")
+    from bliss_tpu.io.flac_writer import write_flac
+
+    samples, dur = song
+    frames = np.stack([samples[0::2], samples[1::2]], axis=1)
+    path = str(tmp_path / "long.flac")
+    write_flac(path, frames, 22050)
+    env = dict(
+        os.environ,
+        LD_LIBRARY_PATH=f"{build}:{os.path.join(os.path.dirname(build), 'fftw_shim', 'lib')}",
+    )
+    out = subprocess.run(
+        [analyze_bin, path], capture_output=True, text=True, env=env,
+        timeout=600,
+    ).stdout
+    m = re.search(
+        r"Force vector: \(([-\d.]+), ([-\d.]+), ([-\d.]+), ([-\d.]+)\)", out
+    )
+    assert m, f"reference analyze failed: {out[:400]}"
+    ref = np.array([float(m.group(k)) for k in range(1, 5)])
+
+    # analyze the SAME decoded PCM the reference saw (the FLAC pads the
+    # tail to a whole block, which shifts the final windows)
+    from bliss_tpu.io import decode
+
+    d = decode(path)
+    streamed = analyze_song_streaming(
+        np.asarray(d.samples), d.duration, CFG, chunk_samples=1 << 19
+    )
+    assert _beats(streamed[0], dur) == _beats(ref[0], dur)
+    assert np.abs(streamed[1:] - ref[1:]).max() < 2e-3
+
+
+def test_pipeline_routes_long_songs(tmp_path, monkeypatch):
+    """analyze_library sends songs past the cap through the streaming path
+    (observable via stats) and the result matches the whole-shape scan."""
+    from bliss_tpu.io.flac_writer import write_flac
+    from bliss_tpu.pipeline import analyze_library
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i, secs in enumerate((2, 14)):  # one short, one "long"
+        pcm = np.asarray(synth_pcm(rng, secs * 44100))
+        frames = np.stack([pcm[0::2], pcm[1::2]], axis=1)
+        p = str(tmp_path / f"s{i}.flac")
+        write_flac(p, frames, 22050)
+        paths.append(p)
+
+    r_stream = analyze_library(
+        paths, cfg=CFG, batch_size=2, long_song_samples=1 << 18
+    )
+    assert r_stream.ok.all()
+    assert "streaming" in r_stream.stats  # the long path actually ran
+    r_whole = analyze_library(paths, cfg=CFG, batch_size=2, long_song_samples=None)
+    assert _beats(r_stream.features[1, 0], 14) == _beats(
+        r_whole.features[1, 0], 14
+    )
+    np.testing.assert_allclose(
+        r_stream.features, r_whole.features, atol=2e-3
+    )
