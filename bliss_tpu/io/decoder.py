@@ -95,6 +95,28 @@ def _is_stale(src: str) -> bool:
     )
 
 
+def _cache_build_dir() -> str:
+    """Writable build dir for read-only installs (site-packages wheels):
+    sources copied to a content-hashed directory under the user cache, so
+    upgrading the package rebuilds and old versions never collide."""
+    import hashlib
+    import shutil
+
+    with open(os.path.join(_NATIVE_DIR, "decoder.cc"), "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    root = os.environ.get(
+        "BLISS_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "bliss-tpu"),
+    )
+    d = os.path.join(root, f"native-{tag}")
+    os.makedirs(d, exist_ok=True)
+    for name in ("decoder.cc", "Makefile"):
+        target = os.path.join(d, name)
+        if not os.path.exists(target):
+            shutil.copy(os.path.join(_NATIVE_DIR, name), target)
+    return d
+
+
 def _ensure_built() -> str:
     """Build the native library on first use if missing or stale.
 
@@ -102,17 +124,31 @@ def _ensure_built() -> str:
     run make once; the Makefile builds to a temp name and renames, so a
     concurrent *process* dlopen()ing the library never sees a partial file
     (and make itself resolves the double-build to a no-op rename race at
-    worst)."""
+    worst). For an installed (read-only) package: a wheel-bundled .so is
+    used as-is; otherwise the build runs in a user-cache copy of the
+    sources (see setup.py)."""
     src = os.path.join(_NATIVE_DIR, "decoder.cc")
-    if _is_stale(src):
+    if os.access(_NATIVE_DIR, os.W_OK):
+        if _is_stale(src):
+            with _build_lock:
+                if _is_stale(src):
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR],
+                        check=True,
+                        capture_output=True,
+                    )
+        return _LIB_PATH
+    if os.path.exists(_LIB_PATH):  # prebuilt by the wheel's build hook
+        return _LIB_PATH
+    d = _cache_build_dir()
+    lib = os.path.join(d, "libblisstpu_io.so")
+    if not os.path.exists(lib):
         with _build_lock:
-            if _is_stale(src):
+            if not os.path.exists(lib):
                 subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
+                    ["make", "-C", d], check=True, capture_output=True
                 )
-    return _LIB_PATH
+    return lib
 
 
 def _load_lib():
