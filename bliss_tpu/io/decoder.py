@@ -288,25 +288,38 @@ def iter_decode(
     num_workers: int | None = None,
     prefetch: int = 2,
     on_error: str = "skip",
+    perf: dict | None = None,
 ):
     """Streaming decode with bounded prefetch.
 
     Yields ``(filename, DecodedAudio | None)`` in input order while decoding
     ahead on a thread pool — the host half of the host→device pipeline.
+    ``perf``, if given, accumulates "decode_seconds" (summed per-file wall
+    time across workers — i.e. core-seconds, not elapsed) and "decoded".
     """
+    import time as _time
     from collections import deque
 
     if num_workers is None:
         num_workers = min(32, (os.cpu_count() or 8))
     filenames = list(filenames)
+    plock = threading.Lock()
 
     def _one(fn):
+        t0 = _time.perf_counter()
         try:
             return decode(fn)
         except DecodeError:
             if on_error == "raise":
                 raise
             return None
+        finally:
+            if perf is not None:
+                with plock:
+                    perf["decode_seconds"] = perf.get(
+                        "decode_seconds", 0.0
+                    ) + (_time.perf_counter() - t0)
+                    perf["decoded"] = perf.get("decoded", 0) + 1
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         window = max(1, num_workers * max(1, prefetch))

@@ -18,21 +18,56 @@ import numpy as np
 _BLOCK = 4096
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _make_crc8_table():
+    t = []
+    for byte in range(256):
+        crc = byte
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t.append(crc)
+    return t
+
+
+def _make_crc16_table():
+    t = []
+    for byte in range(256):
+        crc = byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+        t.append(crc)
+    return t
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+# Explicit sample-rate code so frames are self-describing (decoders fed
+# through codec contexts without STREAMINFO extradata — like the
+# reference's — still work). Unlisted rates use the 16-bit Hz tail.
+_RATE_CODES = {
+    88200: 0b0001, 176400: 0b0010, 192000: 0b0011, 8000: 0b0100,
+    16000: 0b0101, 22050: 0b0110, 24000: 0b0111, 32000: 0b1000,
+    44100: 0b1001, 48000: 0b1010, 96000: 0b1011,
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    t = _CRC8_TABLE
+    for byte in data:
+        crc = t[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = t[((crc >> 8) ^ byte) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -106,37 +141,57 @@ def write_flac(
             vc += struct.pack("<I", len(e)) + e
         out += bytes([0x80 | 0x04]) + len(vc).to_bytes(3, "big") + vc
 
-    # Explicit sample-rate code so frames are self-describing (decoders fed
-    # through codec contexts without STREAMINFO extradata - like the
-    # reference's - still work).
-    rate_codes = {
-        88200: 0b0001, 176400: 0b0010, 192000: 0b0011, 8000: 0b0100,
-        16000: 0b0101, 22050: 0b0110, 24000: 0b0111, 32000: 0b1000,
-        44100: 0b1001, 48000: 0b1010, 96000: 0b1011,
-    }
-    rate_code = rate_codes.get(sample_rate, 0b1101)  # else 16-bit Hz tail
-
     for fi in range(n // _BLOCK):
-        hdr = bytearray()
-        # sync(14)=11111111111110, reserved(1)=0, blocking(1)=0 (fixed)
-        hdr += b"\xff\xf8"
-        # blocksize code 0b0111 (16-bit at end), explicit sample-rate code
-        hdr.append((0b0111 << 4) | rate_code)
-        # channels independent (ch-1), sample size 16 bits (0b100), reserved 0
-        hdr.append(((ch - 1) << 4) | (0b100 << 1))
-        hdr += _utf8_coded_number(fi)
-        hdr += struct.pack(">H", _BLOCK - 1)
-        if rate_code == 0b1101:
-            hdr += struct.pack(">H", sample_rate)
-        hdr.append(_crc8(bytes(hdr)))
-
-        body = bytearray(hdr)
-        blk = frames[fi * _BLOCK : (fi + 1) * _BLOCK]
-        for c in range(ch):
-            body.append(0x02)  # subframe header: VERBATIM, no wasted bits
-            body += blk[:, c].astype(">i2").tobytes()
-        body += struct.pack(">H", _crc16(bytes(body)))
-        out += body
+        out += frame_bytes(
+            frames[fi * _BLOCK : (fi + 1) * _BLOCK], fi, sample_rate
+        )
 
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def frame_bytes(blk: np.ndarray, fi: int, sample_rate: int = 22050) -> bytes:
+    """One complete FLAC frame (header + verbatim subframes + CRCs) for a
+    [_BLOCK, channels] int16 block at frame index ``fi``. Exposed so bulk
+    fixture generators can precompute a pool of frames and compose many
+    distinct files at I/O speed (the CRCs depend on (content, fi) only)."""
+    ch = blk.shape[1]
+    rate_code = _RATE_CODES.get(sample_rate, 0b1101)
+    hdr = bytearray()
+    # sync(14)=11111111111110, reserved(1)=0, blocking(1)=0 (fixed)
+    hdr += b"\xff\xf8"
+    # blocksize code 0b0111 (16-bit at end), explicit sample-rate code
+    hdr.append((0b0111 << 4) | rate_code)
+    # channels independent (ch-1), sample size 16 bits (0b100), reserved 0
+    hdr.append(((ch - 1) << 4) | (0b100 << 1))
+    hdr += _utf8_coded_number(fi)
+    hdr += struct.pack(">H", _BLOCK - 1)
+    if rate_code == 0b1101:
+        hdr += struct.pack(">H", sample_rate)
+    hdr.append(_crc8(bytes(hdr)))
+
+    body = bytearray(hdr)
+    for c in range(ch):
+        body.append(0x02)  # subframe header: VERBATIM, no wasted bits
+        body += blk[:, c].astype(">i2").tobytes()
+    body += struct.pack(">H", _crc16(bytes(body)))
+    return bytes(body)
+
+
+def stream_header(
+    n_samples: int,
+    ch: int = 2,
+    sample_rate: int = 22050,
+    md5: bytes = b"\x00" * 16,
+) -> bytes:
+    """fLaC magic + STREAMINFO for composing files from frame_bytes pools
+    (md5 of all zeros = 'unset' per spec; decoders do not verify it)."""
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += struct.pack(">HH", _BLOCK, _BLOCK)
+    si += b"\x00\x00\x00" * 2
+    packed = (sample_rate << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | n_samples
+    si += packed.to_bytes(8, "big")
+    si += md5
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    return bytes(out)

@@ -258,7 +258,8 @@ def analyze_library(
                     {"filename": files[i], "title": d.title, "artist": d.artist},
                 )
         if store is not None:
-            store.flush()
+            with timer.stage("store_flush"):
+                store.flush()
         _progress(f"analyzed batch of {len(entries)} (L={L})")
 
     # --- cancellation: Ctrl-C (main thread) or a caller-supplied Event ------
@@ -291,11 +292,13 @@ def analyze_library(
             # workers * prefetch, so divide by the EFFECTIVE worker count
             # or a many-core host would buffer workers * batch_size songs)
             eff_workers = num_decode_workers or min(32, (os.cpu_count() or 8))
+            decode_perf: dict = {}
             stream = iter_decode(
                 [files[i] for i in todo],
                 num_workers=num_decode_workers,
                 prefetch=max(2, batch_size // eff_workers),
                 on_error="skip",
+                perf=decode_perf,
             )
             for j, (fname, decoded) in zip(todo, stream):
                 if _cancelled():
@@ -367,6 +370,11 @@ def analyze_library(
     stats = timer.report()
     stats["errors"] = len(errors)
     stats["cancelled"] = _cancelled()
+    # summed per-file decode wall time across worker threads (core-seconds)
+    stats["decode_core_seconds"] = round(
+        decode_perf.get("decode_seconds", 0.0), 4
+    )
+    stats["decoded"] = decode_perf.get("decoded", 0)
     log_event(logger, "scan complete", total=n_total, ok=int(ok.sum()), **{
         k: v["seconds"] for k, v in timer.report().items()
     })

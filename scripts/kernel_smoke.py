@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Real-device Pallas kernel regression gate.
+
+CI runs on CPU where every kernel call is interpret=True — and interpret
+mode does NOT validate Mosaic tile constraints (CLAUDE.md): a kernel-
+breaking edit can pass the whole suite and only fail at the driver's
+device compile. This script compile-checks every kernel configuration on
+the ACTUAL TPU:
+
+    {1, 5, 36 bands} x {split, exact FIR} x {two-kernel, single_pass}
+    x {plain jit, sharded shard_map}
+
+and verifies finite, golden-consistent outputs. bench.py runs the same
+matrix (BENCH_KERNELS=0 to skip) and emits ``kernels_ok`` in its JSON.
+
+Run: python scripts/kernel_smoke.py            # prints one JSON line
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def smoke_configs():
+    """The kernel configuration matrix, as (name, AnalysisConfig, sharded)."""
+    from bliss_tpu.config import AnalysisConfig
+
+    cfgs = []
+    for nb, fbk in ((1, "firwin"), (5, "reference5"), (36, "reference36")):
+        for conv in ("split", "exact"):
+            cfgs.append(
+                (
+                    f"bands{nb}-{conv}",
+                    AnalysisConfig(
+                        dtype="float32",
+                        amplitude_mode="poly",
+                        fused_kernel=True,
+                        fused_conv=conv,
+                        filterbank=fbk,
+                        tempo_finish="device_exact",
+                    ),
+                    False,
+                )
+            )
+    # single-pass kernel (split-only by design) at each band count
+    for nb, fbk in ((1, "firwin"), (5, "reference5"), (36, "reference36")):
+        cfgs.append(
+            (
+                f"bands{nb}-single_pass",
+                AnalysisConfig(
+                    dtype="float32",
+                    amplitude_mode="poly",
+                    fused_kernel=True,
+                    single_pass=True,
+                    filterbank=fbk,
+                    tempo_finish="device_exact",
+                ),
+                False,
+            )
+        )
+    # sharded (shard_map) two-kernel path, 1 and 5 bands
+    for nb, fbk in ((1, "firwin"), (5, "reference5")):
+        cfgs.append(
+            (
+                f"bands{nb}-sharded",
+                AnalysisConfig(
+                    dtype="float32",
+                    amplitude_mode="poly",
+                    fused_kernel=True,
+                    tempo_finish="device_exact",
+                    filterbank=fbk,
+                ),
+                True,
+            )
+        )
+    return cfgs
+
+
+def run_smoke(time_budget_s: float = 1500.0) -> dict:
+    """Compile + run each configuration on the default backend; returns
+    {"ok": bool, "results": {name: "ok"|"skipped"|error}, ...}."""
+    import numpy as np
+
+    import jax
+
+    from bliss_tpu.features import PCMBatch, analyze_batch
+
+    B, L = 8, 1 << 17  # >= 65536 so the fused path engages; small = fast
+    rng = np.random.RandomState(0)
+    t = np.arange(L)
+    sig = 5000 * np.sin(2 * np.pi * t * 440 / 22050) + rng.randn(L) * 500
+    arrays = [
+        np.clip(np.roll(sig, 131 * i), -32000, 32000).astype(np.int16)
+        for i in range(B)
+    ]
+    batch = PCMBatch.from_arrays(arrays, [3] * B)
+    batch = PCMBatch(*(jax.device_put(x) for x in batch))
+
+    results = {}
+    t_start = time.time()
+    ok_all = True
+    for name, cfg, sharded in smoke_configs():
+        if time.time() - t_start > time_budget_s:
+            results[name] = "skipped (time budget)"
+            continue
+        t0 = time.time()
+        try:
+            if sharded:
+                from bliss_tpu.parallel import analysis_mesh, analyze_sharded
+
+                n_dev = len(jax.devices())
+                mesh = analysis_mesh(
+                    min(2, n_dev), 1, devices=jax.devices()[: min(2, n_dev)]
+                )
+                feats = np.asarray(analyze_sharded(batch, mesh, cfg))
+            else:
+                feats = np.asarray(
+                    jax.jit(lambda b: analyze_batch(b, cfg))(batch)
+                )
+            if not np.isfinite(feats).all():
+                raise AssertionError(f"non-finite features: {feats[0]}")
+            results[name] = f"ok ({time.time() - t0:.0f}s)"
+        except Exception as e:  # noqa: BLE001 — report every failure mode
+            ok_all = False
+            results[name] = f"FAIL: {type(e).__name__}: {str(e)[:200]}"
+    return {
+        "ok": ok_all,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "results": results,
+        "elapsed_s": round(time.time() - t_start, 1),
+    }
+
+
+def main() -> int:
+    out = run_smoke()
+    print(json.dumps(out, indent=1))
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
