@@ -34,6 +34,11 @@ from bliss_tpu.sim import distance as _distance_fn
 from bliss_tpu.sim import cosine_similarity as _cosine_fn
 
 
+# Songs longer than this (interleaved samples, ~3 min) analyze via the
+# chunked streaming path — same cap analyze_library uses by default.
+LONG_SONG_SAMPLES = 1 << 23
+
+
 def default_config() -> AnalysisConfig:
     """Best available accuracy on the current backend: float64 parity mode
     when x64 is enabled (CPU), float32 with the beat-exact double-single
@@ -183,7 +188,23 @@ class Song(Mapping):
             self.filename = filename
             self.sample_array = None
         cfg = cfg or default_config()
-        feats = analyze_features(self._batch(cfg), cfg)[0]
+        if self.sample_array is None:
+            self.decode()
+        n = int(np.asarray(self.sample_array).shape[0])
+        if (
+            n > LONG_SONG_SAMPLES
+            and not cfg.strict_accumulation
+            and cfg.amplitude_mode != "iterative"
+        ):
+            # very long song: chunked streaming — one fixed compiled shape
+            # instead of a giant whole-song compile (features/streaming.py)
+            from bliss_tpu.features.streaming import analyze_song_streaming
+
+            feats = analyze_song_streaming(
+                np.asarray(self.sample_array), self.duration, cfg
+            )
+        else:
+            feats = analyze_features(self._batch(cfg), cfg)[0]
         self.force_vector = ForceVector(*map(float, feats))
         force, cls = force_and_class(feats[None, :])
         self.force = float(np.asarray(force)[0])

@@ -100,6 +100,7 @@ def run_smoke(time_budget_s: float = 1500.0) -> dict:
     batch = PCMBatch(*(jax.device_put(x) for x in batch))
 
     results = {}
+    feats_by_name = {}
     t_start = time.time()
     ok_all = True
     for name, cfg, sharded in smoke_configs():
@@ -122,15 +123,36 @@ def run_smoke(time_budget_s: float = 1500.0) -> dict:
                 )
             if not np.isfinite(feats).all():
                 raise AssertionError(f"non-finite features: {feats[0]}")
+            feats_by_name[name] = feats
             results[name] = f"ok ({time.time() - t0:.0f}s)"
         except Exception as e:  # noqa: BLE001 — report every failure mode
             ok_all = False
             results[name] = f"FAIL: {type(e).__name__}: {str(e)[:200]}"
+
+    # consistency: configurations with the same band count must agree — a
+    # kernel producing finite garbage is as broken as one failing to
+    # compile. Compare every variant against its bands{N}-exact anchor (the
+    # f32-matmul conv), tolerance = the documented float32 gate.
+    consistency = {}
+    for name, feats in feats_by_name.items():
+        nb = name.split("-")[0]
+        anchor = feats_by_name.get(f"{nb}-exact")
+        if anchor is None or name == f"{nb}-exact":
+            continue
+        d = np.abs(feats - anchor).max(axis=0)  # per-feature max dev
+        consistency[name] = [round(float(v), 6) for v in d]
+        # amplitude/frequency/attack at the float32 gate; tempo allows the
+        # epsilon-marginal beat flips the split-vs-exact conv is documented
+        # to produce (docs/DESIGN.md §7) — up to 2 beat quanta at 3 s songs
+        if d[1] > 2e-3 or d[2] > 2e-3 or d[3] > 2e-3 or d[0] > 2 * 4.0 / 3.0:
+            ok_all = False
+            results[name] += f" INCONSISTENT (dev {list(d)} vs {nb}-exact)"
     return {
         "ok": ok_all,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "results": results,
+        "consistency_vs_exact": consistency,
         "elapsed_s": round(time.time() - t_start, 1),
     }
 

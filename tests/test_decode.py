@@ -140,6 +140,45 @@ def test_flac_writer_roundtrip(tmp_path):
     assert np.array_equal(got, exp)
 
 
+def test_flac_writer_long_file_roundtrip(tmp_path):
+    """Files past 128 frames (~24 s) need multi-byte frame numbers; the
+    original coding emitted an invalid lead marker and every decoder
+    silently truncated there (round-3 bug). Pin the fix end-to-end plus
+    the coded-number values against real UTF-8."""
+    from bliss_tpu.io.flac_writer import _utf8_coded_number, write_flac
+
+    for n in (0x7F, 0x80, 0x100, 0x7FF, 0x800, 0xFFFF):
+        assert _utf8_coded_number(n) == chr(n).encode("utf-8"), hex(n)
+
+    rng = np.random.RandomState(6)
+    frames = (rng.randn(22050 * 30, 2) * 3000).astype(np.int16)  # 30 s
+    p = tmp_path / "long.flac"
+    write_flac(str(p), frames, 22050)
+    d = decode(str(p))
+    assert d.n_frames >= frames.shape[0]  # nothing truncated
+    assert np.array_equal(d.as_frames()[: frames.shape[0]], frames)
+
+
+def test_flac_writer_pooled_frames_roundtrip(tmp_path):
+    """stream_header + frame_bytes composition (the bulk e2e generator's
+    path) decodes to exactly the composed blocks."""
+    from bliss_tpu.io.flac_writer import _BLOCK, frame_bytes, stream_header
+
+    rng = np.random.RandomState(7)
+    blocks = [
+        (rng.randn(_BLOCK, 2) * 2000).astype(np.int16) for _ in range(3)
+    ]
+    seq = [0, 2, 1, 0, 2]
+    p = tmp_path / "pooled.flac"
+    with open(p, "wb") as f:
+        f.write(stream_header(len(seq) * _BLOCK))
+        for fi, ci in enumerate(seq):
+            f.write(frame_bytes(blocks[ci], fi))
+    d = decode(str(p))
+    exp = np.vstack([blocks[ci] for ci in seq])
+    assert np.array_equal(d.as_frames(), exp)
+
+
 def test_flac_writer_tags(tmp_path):
     from bliss_tpu.io.flac_writer import write_flac
 

@@ -112,6 +112,45 @@ def test_streaming_vs_reference_binary(song, tmp_path):
     assert np.abs(streamed[1:] - ref[1:]).max() < 2e-3
 
 
+def test_song_api_routes_long_songs(song, tmp_path, monkeypatch):
+    """bliss_tpu.analyze() streams songs past the cap too (no giant-shape
+    compile through the Song API)."""
+    import bliss_tpu
+    from bliss_tpu import api
+
+    from bliss_tpu.io.flac_writer import write_flac
+
+    samples, dur = song
+    frames = np.stack([samples[0::2], samples[1::2]], axis=1)
+    path = str(tmp_path / "api_long.flac")
+    write_flac(path, frames, 22050)
+
+    monkeypatch.setattr(api, "LONG_SONG_SAMPLES", 1 << 18)
+    called = {}
+    from bliss_tpu.features import streaming as streaming_mod
+
+    real = streaming_mod.analyze_song_streaming
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(streaming_mod, "analyze_song_streaming", spy)
+    s = bliss_tpu.analyze(path, cfg=CFG)
+    assert called.get("yes"), "long song did not take the streaming path"
+    whole = np.asarray(
+        analyze_batch_hybrid(
+            PCMBatch.from_arrays(
+                [np.asarray(s.sample_array)], [s.duration]
+            ),
+            CFG,
+        )
+    )[0]
+    assert _beats(s.force_vector.tempo, s.duration) == _beats(
+        whole[0], s.duration
+    )
+
+
 def test_pipeline_routes_long_songs(tmp_path, monkeypatch):
     """analyze_library sends songs past the cap through the streaming path
     (observable via stats) and the result matches the whole-shape scan."""
