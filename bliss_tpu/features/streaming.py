@@ -54,11 +54,21 @@ DEFAULT_CHUNK = 1 << 22
 _SUB = 256  # sub-block for exact integer partial sums
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _pass1_chunk(chunk: jnp.ndarray, base: jnp.ndarray, n: jnp.ndarray, cfg: AnalysisConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "extended"))
+def _pass1_chunk(
+    chunk: jnp.ndarray,
+    base: jnp.ndarray,
+    n: jnp.ndarray,
+    cfg: AnalysisConfig,
+    extended: bool = False,
+):
     """One [CH] int16 chunk -> streaming partials (see module docstring).
 
-    base: global index of chunk[0]; n: song's true sample count.
+    base: global index of chunk[0]; n: song's true sample count. With
+    ``extended``, also returns the ROADMAP-feature partials (RMS sum,
+    zero-cross flips, per-frame rolloff/flatness/MFCC accumulations) —
+    everything else the extended set needs is host-derivable from the
+    accumulated full spectrum.
     """
     dtype = cfg.jnp_dtype
     CH = chunk.shape[0]
@@ -112,7 +122,9 @@ def _pass1_chunk(chunk: jnp.ndarray, base: jnp.ndarray, n: jnp.ndarray, cfg: Ana
         (s2 >> 16).reshape(CH // _SUB, _SUB), axis=1, dtype=jnp.int32
     )  # <= 2^22
 
-    # --- frequency power accumulation --------------------------------------
+    # --- frequency power accumulation (FULL spectrum; the core score
+    # zeroes the Nyquist bin host-side, which equals the whole-shape
+    # zero-column DFT because power accumulates per-bin) ---------------------
     W = C.WINDOW_SIZE
     fpc = CH // (W * C.CHANNELS)
     fr = chunk.reshape(fpc, W, C.CHANNELS).astype(jnp.int32)
@@ -123,13 +135,58 @@ def _pass1_chunk(chunk: jnp.ndarray, base: jnp.ndarray, n: jnp.ndarray, cfg: Ana
     gframe = base // (W * C.CHANNELS) + jnp.arange(fpc, dtype=jnp.int32)
     fmask = gframe < n_frames
     x = x * fmask[:, None].astype(dtype)
-    dre, dim = tables.rdft_matrices(zero_nyquist=True)
+    dre, dim = tables.rdft_matrices()
     hp = jax.lax.Precision.HIGHEST
     re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
     im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
-    power = jnp.sum(re * re + im * im, axis=0)  # [W//2+1]
+    pframe = re * re + im * im  # [fpc, W//2+1]
+    power = jnp.sum(pframe, axis=0)  # [W//2+1]
 
-    return amp_dot, first, last, sum_wrap, sub_s, sub_lo, sub_hi, power
+    out = (amp_dot, first, last, sum_wrap, sub_s, sub_lo, sub_hi, power)
+    if not extended:
+        return out
+
+    # --- extended-feature partials (mirrors features/extended.py) -----------
+    sumsq = jnp.sum((sv.astype(dtype) / 32768.0) ** 2)
+    monov = jnp.where(
+        (base // 2 + jnp.arange(CH // 2, dtype=jnp.int32)) < n // 2,
+        c_div(
+            chunk.reshape(CH // 2, 2)[:, 0].astype(jnp.int32)
+            + chunk.reshape(CH // 2, 2)[:, 1].astype(jnp.int32),
+            2,
+        ),
+        0,
+    )
+    mvalid = (base // 2 + jnp.arange(CH // 2, dtype=jnp.int32)) < n // 2
+    sign = jnp.where(monov >= 0, 1, -1)
+    flips = jnp.sum(
+        ((sign[1:] != sign[:-1]) & mvalid[1:] & mvalid[:-1]).astype(jnp.int32)
+    )
+
+    bin_hz = jnp.asarray(np.arange(W // 2 + 1) * C.SAMPLE_RATE / W, dtype)
+    frame_energy = jnp.sum(pframe, axis=-1)  # [fpc]
+    fe = jnp.maximum(frame_energy, 1e-12)[:, None]
+    csum = jnp.cumsum(pframe, axis=-1)
+    roll_idx = jnp.argmax(csum >= 0.95 * fe, axis=-1)
+    roll_num = jnp.sum(jnp.take(bin_hz, roll_idx) * frame_energy)
+
+    eps = jnp.asarray(1e-12, dtype)
+    nb = pframe.shape[-1]
+    log_gm = jnp.sum(jnp.log(pframe + eps), axis=-1) / nb
+    flat_f = jnp.exp(log_gm) / jnp.maximum(frame_energy / nb, 1e-12)
+    flat_num = jnp.sum(flat_f * frame_energy)
+
+    from bliss_tpu.features.extended import dct_ii_matrix, mel_filterbank
+
+    mel = jnp.matmul(pframe, jnp.asarray(mel_filterbank(), dtype), precision=hp)
+    mfcc = jnp.matmul(
+        jnp.log(mel + eps), jnp.asarray(dct_ii_matrix(), dtype), precision=hp
+    )  # [fpc, 13]
+    fm = fmask.astype(dtype)[:, None]
+    mfcc_sum = jnp.sum(mfcc * fm, axis=0)
+    mfcc_sq = jnp.sum(mfcc * mfcc * fm, axis=0)
+
+    return out + (sumsq, flips, roll_num, flat_num, mfcc_sum, mfcc_sq)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -203,10 +260,13 @@ def analyze_song_streaming(
     duration: int,
     cfg: AnalysisConfig,
     chunk_samples: int = DEFAULT_CHUNK,
+    extended: bool = False,
 ) -> np.ndarray:
     """Analyze ONE song of arbitrary length with fixed [chunk] compiled
     shapes; returns the [4] float32 force vector (tempo, amplitude,
-    frequency, attack). Beat counts are float64-exact (host finish).
+    frequency, attack), or [4 + n_ext] with ``extended`` (the ROADMAP set
+    appended in EXTENDED_FEATURE_NAMES order, its beat features from the
+    float64 host envelope). Beat counts are float64-exact (host finish).
 
     Unsupported in this path (falls back to whole-shape in the pipeline):
     strict_accumulation and amplitude_mode='iterative' (parity-test-only
@@ -235,15 +295,22 @@ def analyze_song_streaming(
     sum_s = 0
     sum_s2 = 0
     power = np.zeros(C.WINDOW_SIZE // 2 + 1, np.float64)
+    sumsq = 0.0
+    flips = 0
+    roll_num = 0.0
+    flat_num = 0.0
+    mfcc_sum = np.zeros(13, np.float64)
+    mfcc_sq = np.zeros(13, np.float64)
     for ci in range(n_chunks):
         lo = ci * CH
         payload = samples[lo : lo + CH]
         if payload.shape[0] < CH:
             payload = np.pad(payload, (0, CH - payload.shape[0]))
         out = _pass1_chunk(
-            jnp.asarray(payload), jnp.asarray(np.int32(lo)), n_j, cfg
+            jnp.asarray(payload), jnp.asarray(np.int32(lo)), n_j, cfg,
+            extended=extended,
         )
-        a, f, l, sw, ss, slo, shi, pw = (np.asarray(o) for o in out)
+        a, f, l, sw, ss, slo, shi, pw = (np.asarray(o) for o in out[:8])
         amp_dot += float(a)
         first = min(first, int(f))
         last = max(last, int(l))
@@ -254,6 +321,22 @@ def analyze_song_streaming(
             slo.astype(np.int64).sum()
         )
         power += pw.astype(np.float64)
+        if extended:
+            sq, fl, rn, fn, ms, mq = (np.asarray(o) for o in out[8:])
+            sumsq += float(sq)
+            flips += int(fl)
+            roll_num += float(rn)
+            flat_num += float(fn)
+            mfcc_sum += ms.astype(np.float64)
+            mfcc_sq += mq.astype(np.float64)
+            # cross-boundary zero-cross pair (host: two mono samples)
+            if ci > 0 and lo < n and lo >= 2:
+                m_prev = _c_div_int(
+                    int(samples[lo - 2]) + int(samples[lo - 1]), 2
+                )
+                m_cur = _c_div_int(int(samples[lo]) + int(samples[lo + 1]), 2)
+                if (m_prev >= 0) != (m_cur >= 0):
+                    flips += 1
 
     # --- host: scalar statistics -------------------------------------------
     mean = _c_div_int(sum_wrap, max(n, 1))
@@ -273,7 +356,10 @@ def analyze_song_streaming(
     )
 
     # frequency: peak-relative dB + band score on the accumulated spectrum
-    frequency = _frequency_score_from_power(power)
+    # (Nyquist zeroed — the reference never accumulates that bin)
+    power_core = power.copy()
+    power_core[-1] = 0.0
+    frequency = _frequency_score_from_power(power_core)
 
     # --- pass 2 + envelope finish ------------------------------------------
     from bliss_tpu.features.tempo import envelope_finish_host
@@ -302,9 +388,50 @@ def analyze_song_streaming(
     tempo, attack = envelope_finish_host(
         fa, np.array([n], np.int64), np.array([duration], np.float64)
     )
-    return np.array(
-        [tempo[0], amplitude, frequency, attack[0]], np.float32
+    core = np.array([tempo[0], amplitude, frequency, attack[0]], np.float32)
+    if not extended:
+        return core
+
+    # --- extended features from the streamed partials -----------------------
+    from bliss_tpu.features.extended import (
+        EXTENDED_FEATURE_NAMES,
+        chroma_matrix,
     )
+    from bliss_tpu.features.tempo import beat_metrics_host
+
+    W = C.WINDOW_SIZE
+    rms = np.sqrt(sumsq / max(n, 1))
+    loudness_db = 20.0 * np.log10(max(rms, 1e-10))
+    zcr = flips / max(n // 2 - 1, 1)
+
+    bin_hz = np.arange(W // 2 + 1) * C.SAMPLE_RATE / W
+    total_energy = max(float(power.sum()), 1e-12)
+    centroid = float((power * bin_hz).sum()) / total_energy
+    rolloff = roll_num / total_energy
+    flatness = flat_num / total_energy
+
+    n_frames = max((n // C.CHANNELS) // W, 1)
+    mfcc_mean = mfcc_sum / n_frames
+    mfcc_std = np.sqrt(np.maximum(mfcc_sq / n_frames - mfcc_mean**2, 0.0))
+
+    bpm, beat_loud = beat_metrics_host(
+        fa, np.array([n], np.int64), np.array([duration], np.float64)
+    )
+
+    chroma = power @ np.asarray(chroma_matrix(), np.float64)
+    chroma = chroma / max(float(chroma.sum()), 1e-12)
+
+    ext = np.concatenate(
+        [
+            [zcr, loudness_db, centroid, rolloff, flatness,
+             float(bpm[0]), float(beat_loud[0])],
+            mfcc_mean,
+            mfcc_std,
+            chroma,
+        ]
+    ).astype(np.float32)
+    assert ext.shape[0] == len(EXTENDED_FEATURE_NAMES)
+    return np.concatenate([core, ext])
 
 
 def _c_div_int(a: int, b: int) -> int:

@@ -402,7 +402,35 @@ def _box_sum_host(x, width):
     ) * width
 
 
-def envelope_finish_host(fa, n_samples, durations, workers: int | None = None):
+def beat_metrics_host(fa, n_samples, durations):
+    """Float64 host version of beat_metrics (bpm, beat_loudness) for the
+    streaming path: [*, NB, NBF] energies -> ([B] bpm, [B] beat_loudness).
+    Same definitions as the device beat_metrics, computed from the float64
+    envelope chain."""
+    import numpy as np
+
+    fa = np.asarray(fa, np.float64)
+    if fa.ndim == 2:
+        fa = fa[:, None, :]
+    n = np.asarray(n_samples, np.int64)
+    dur = np.asarray(durations, np.float64)
+    _, _, aux = envelope_finish_host(fa, n, dur, workers=1, return_aux=True)
+    r2, peaks, mid = aux
+    beat = peaks.sum(axis=1)
+    bpm = 60.0 * beat / np.where(dur > 0, dur, np.inf)
+    pk_vals = np.where(peaks, r2[:, 1:-1], 0.0)
+    peak_mean = pk_vals.sum(axis=1) / np.maximum(beat, 1.0)
+    env_mean = np.where(mid, r2, 0.0).sum(axis=1) / np.maximum(
+        mid.sum(axis=1), 1.0
+    )
+    loud = peak_mean / np.maximum(env_mean, 1e-12)
+    loud = np.where(np.isfinite(loud), loud, 0.0)
+    return bpm.astype(np.float32), loud.astype(np.float32)
+
+
+def envelope_finish_host(
+    fa, n_samples, durations, workers: int | None = None, return_aux=False
+):
     """Host float64 finish of the tempo path: fa [B, NBF] (or [B, NB, NBF]
     multi-band) -> (tempo, attack).
 
@@ -433,7 +461,7 @@ def envelope_finish_host(fa, n_samples, durations, workers: int | None = None):
 
     if workers is None:
         workers = min(8, _os.cpu_count() or 1)
-    if workers > 1 and B >= 2 * workers:
+    if workers > 1 and B >= 2 * workers and not return_aux:
         from concurrent.futures import ThreadPoolExecutor
 
         bounds = np.linspace(0, B, workers + 1, dtype=int)
@@ -488,10 +516,15 @@ def envelope_finish_host(fa, n_samples, durations, workers: int | None = None):
     d_prev = r2[:, 1:-1] - r2[:, :-2]
     d_next = r2[:, 1:-1] - r2[:, 2:]
     inrange = j[:, 1:-1] <= (n2 - 2)[:, None]
-    beat = np.sum(
-        (d_prev > C.PEAK_EPSILON) & (d_next > C.PEAK_EPSILON) & inrange, axis=1
-    )
+    peaks = (d_prev > C.PEAK_EPSILON) & (d_next > C.PEAK_EPSILON) & inrange
+    beat = np.sum(peaks, axis=1)
 
     tempo = C.TEMPO_SCALE * beat / dur + C.TEMPO_BIAS
     attack = C.ATTACK_SCALE * atk_sum / n + C.ATTACK_BIAS
+    if return_aux:
+        return (
+            tempo.astype(np.float32),
+            attack.astype(np.float32),
+            (r2, peaks, mid),
+        )
     return tempo.astype(np.float32), attack.astype(np.float32)

@@ -127,8 +127,8 @@ def analyze_library(
     Songs longer than ``long_song_samples`` interleaved samples (~3 min at
     the default 2^23) are analyzed via the chunked streaming path
     (features/streaming.py): fixed compiled shapes regardless of length, so
-    an 11-minute song no longer costs its own giant-shape compile. The
-    parity/strict modes, extended features, and meshed scans keep the
+    an 11-minute song no longer costs its own giant-shape compile; extended
+    features stream too. The parity/strict modes and meshed scans keep the
     whole-shape path (pass ``long_song_samples=None`` to force it always).
 
     progress: optional callback (done, total, message). With
@@ -311,7 +311,6 @@ def analyze_library(
                 if (
                     long_song_samples is not None
                     and decoded.n_samples > long_song_samples
-                    and not extended
                     and mesh is None
                     and not cfg.strict_accumulation
                     and cfg.amplitude_mode != "iterative"
@@ -326,8 +325,11 @@ def analyze_library(
                             decoded.duration,
                             cfg,
                             chunk_samples=long_song_samples,
+                            extended=extended,
                         )
-                    features[j] = row
+                    features[j] = row[:4]
+                    if extended:
+                        ext_features[j] = row[4:]
                     ok[j] = True
                     done += 1
                     if store is not None and j in fps:

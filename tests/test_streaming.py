@@ -112,6 +112,33 @@ def test_streaming_vs_reference_binary(song, tmp_path):
     assert np.abs(streamed[1:] - ref[1:]).max() < 2e-3
 
 
+def test_streaming_extended_matches_whole_shape(song):
+    """The ROADMAP feature set streams too: partials reassemble to the
+    whole-shape extended vector (beat features from the float64 envelope,
+    so bpm may differ from the float32 whole-shape one by marginal
+    beats)."""
+    from bliss_tpu.features import EXTENDED_FEATURE_NAMES
+    from bliss_tpu.features.extended import extended_features_jit
+
+    samples, dur = song
+    batch = PCMBatch.from_arrays([samples], [dur])
+    whole = np.asarray(extended_features_jit(batch, CFG))[0]
+    row = analyze_song_streaming(
+        samples, dur, CFG, chunk_samples=1 << 18, extended=True
+    )
+    ext = row[4:]
+    assert ext.shape[0] == len(EXTENDED_FEATURE_NAMES)
+    names = list(EXTENDED_FEATURE_NAMES)
+    for i, name in enumerate(names):
+        a, b = float(ext[i]), float(whole[i])
+        if name == "bpm":
+            assert abs(a - b) <= 60.0 * 2 / dur + 1e-6, (name, a, b)
+        elif name == "beat_loudness":
+            assert abs(a - b) < 0.05, (name, a, b)
+        else:
+            assert abs(a - b) <= 2e-3 * max(1.0, abs(b)), (name, a, b)
+
+
 def test_song_api_routes_long_songs(song, tmp_path, monkeypatch):
     """bliss_tpu.analyze() streams songs past the cap too (no giant-shape
     compile through the Song API)."""
