@@ -190,12 +190,10 @@ class Song(Mapping):
         cfg = cfg or default_config()
         if self.sample_array is None:
             self.decode()
+        from bliss_tpu.features.streaming import streaming_supports
+
         n = int(np.asarray(self.sample_array).shape[0])
-        if (
-            n > LONG_SONG_SAMPLES
-            and not cfg.strict_accumulation
-            and cfg.amplitude_mode != "iterative"
-        ):
+        if n > LONG_SONG_SAMPLES and streaming_supports(cfg):
             # very long song: chunked streaming — one fixed compiled shape
             # instead of a giant whole-song compile (features/streaming.py)
             from bliss_tpu.features.streaming import analyze_song_streaming

@@ -182,6 +182,10 @@ def fence(x, anchor):
     """
     import jax
 
+    # nan_to_num keeps a NaN anchor from flipping the select (which would
+    # silently add +1 to every fenced value batch-wide); the compare is
+    # still unfoldable — XLA cannot prove the computed operand non-NaN.
+    anchor = jnp.nan_to_num(jnp.asarray(anchor, jnp.float32))
     flag = anchor == anchor
 
     def body(i, c):

@@ -74,18 +74,17 @@ def _integral_table(s, seg, start, end, cfg):
     return dot * (jnp.asarray(100.0, dtype) / span)
 
 
-def _integral_poly(s, seg, start, end, cfg):
-    """Gather-free weighted sum: w[s] = T(1000 - |s+1|) with the smoothing
+def poly_weight(sf: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Gather-free amplitude weight w(s) = T(1000 - |s+1|): the smoothing
     kernel's CDF T evaluated by a Chebyshev fit (tables.amplitude_cdf_poly).
-    TPU gathers serialize per element; this keeps the reduction entirely on
-    the VPU (~2.5e-7 agreement with the exact table).
+    TPU gathers serialize per element; this keeps everything on the VPU
+    (~2.5e-7 agreement with the exact table).
 
-    Two exact symmetries collapse the evaluation to one Clenshaw per sample:
-    the weight is symmetric about s = -1 (so the difference of two CDF
-    terms reduces to the single term above), and the CDF satisfies
-    T(-m-1) = 1 - T(m) (so only its positive half is fit).
-    """
-    dtype = cfg.jnp_dtype
+    Two exact symmetries collapse the evaluation to one Clenshaw per
+    sample: the weight is symmetric about s = -1 (so the difference of two
+    CDF terms reduces to the single term above), and the CDF satisfies
+    T(-m-1) = 1 - T(m) (so only its positive half is fit). Shared by the
+    whole-shape analyzer and the streaming pass-1 chunks."""
     A, _, c_pos = tables.amplitude_cdf_poly()
     c_pos = [jnp.asarray(v, dtype) for v in c_pos]
 
@@ -104,10 +103,12 @@ def _integral_poly(s, seg, start, end, cfg):
         val = jnp.where(mf >= A, 1.0, val)
         return jnp.where(neg, 1.0 - val, val)
 
-    sf = s.astype(dtype)
-    # The weight is symmetric about s = -1 (symmetric smoothing kernel,
-    # integral window centered there): w(s) = T(1000 - |s+1|) exactly.
-    w = T(1000.0 - jnp.abs(sf + 1.0))
+    return T(1000.0 - jnp.abs(sf + 1.0))
+
+
+def _integral_poly(s, seg, start, end, cfg):
+    dtype = cfg.jnp_dtype
+    w = poly_weight(s.astype(dtype), dtype)
     dot = jnp.sum(w * seg.astype(dtype), axis=1)
     span = (end - start).astype(dtype)
     return dot * (jnp.asarray(100.0, dtype) / span)

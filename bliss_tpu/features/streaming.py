@@ -54,6 +54,21 @@ DEFAULT_CHUNK = 1 << 22
 _SUB = 256  # sub-block for exact integer partial sums
 
 
+def streaming_supports(cfg: AnalysisConfig) -> bool:
+    """Whether a config's semantics are reproducible chunk-by-chunk.
+
+    The strict parity modes pin whole-shape sequential accumulation orders
+    (fft_strict's float32 running sum, iterative amplitude's 301 passes,
+    strict_accumulation) and the literal-fft modes request specific ops
+    the streamed Parseval/matmul pipeline would silently substitute."""
+    return (
+        not cfg.strict_accumulation
+        and cfg.amplitude_mode != "iterative"
+        and cfg.tempo_energy_mode == "parseval"
+        and cfg.spectrum_mode == "matmul"
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "extended"))
 def _pass1_chunk(
     chunk: jnp.ndarray,
@@ -81,26 +96,10 @@ def _pass1_chunk(
     if cfg.amplitude_mode == "table":
         w = jnp.asarray(tables.amplitude_weight_table(), dtype)
         wv = jnp.take(w, s + (1 << 15), axis=0)
-    else:  # poly (gather-free) — same evaluator as features/amplitude.py
-        A, _, c_pos = tables.amplitude_cdf_poly()
-        c_pos = [jnp.asarray(v, dtype) for v in c_pos]
+    else:  # poly (gather-free), shared with features/amplitude.py
+        from bliss_tpu.features.amplitude import poly_weight
 
-        def chebval(t, coeffs):
-            b1 = jnp.zeros_like(t)
-            b2 = jnp.zeros_like(t)
-            for ck in coeffs[:0:-1]:
-                b1, b2 = ck + 2.0 * t * b1 - b2, b1
-            return coeffs[0] + t * b1 - b2
-
-        def T(m):
-            neg = m < 0
-            mf = jnp.where(neg, -m - 1.0, m)
-            tp = jnp.clip((2.0 * mf - A) / A, -1.0, 1.0)
-            val = chebval(tp, c_pos)
-            val = jnp.where(mf >= A, 1.0, val)
-            return jnp.where(neg, 1.0 - val, val)
-
-        wv = T(1000.0 - jnp.abs(s.astype(dtype) + 1.0))
+        wv = poly_weight(s.astype(dtype), dtype)
     amp_dot = jnp.sum(wv * valid.astype(dtype))
 
     nz = (sv != 0) & valid
@@ -272,9 +271,11 @@ def analyze_song_streaming(
     strict_accumulation and amplitude_mode='iterative' (parity-test-only
     modes whose sequential accumulation orders are inherently whole-shape).
     """
-    if cfg.strict_accumulation or cfg.amplitude_mode == "iterative":
+    if not streaming_supports(cfg):
         raise ValueError(
-            "streaming path does not support the strict parity modes"
+            "streaming path supports the production modes only (no "
+            "strict_accumulation / iterative amplitude / fft tempo or "
+            "spectrum modes — those pin whole-shape accumulation orders)"
         )
     if chunk_samples % (C.WINDOW_SIZE * C.CHANNELS):
         raise ValueError("chunk_samples must be a multiple of 1024")

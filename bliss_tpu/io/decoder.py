@@ -102,8 +102,11 @@ def _cache_build_dir() -> str:
     import hashlib
     import shutil
 
-    with open(os.path.join(_NATIVE_DIR, "decoder.cc"), "rb") as f:
-        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    h = hashlib.sha1()
+    for name in ("decoder.cc", "Makefile"):  # Makefile changes rebuild too
+        with open(os.path.join(_NATIVE_DIR, name), "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:12]
     root = os.environ.get(
         "BLISS_TPU_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "bliss-tpu"),

@@ -31,6 +31,11 @@ import numpy as np
 
 from bliss_tpu.config import AnalysisConfig
 from bliss_tpu.features import PCMBatch
+from bliss_tpu.features.streaming import (
+    DEFAULT_CHUNK,
+    analyze_song_streaming,
+    streaming_supports,
+)
 from bliss_tpu.io import iter_decode
 from bliss_tpu.store.feature_store import FeatureStore, file_fingerprint
 from bliss_tpu.utils import StageTimer, get_logger, log_event
@@ -125,11 +130,13 @@ def analyze_library(
     """Analyze a library of audio files; returns features in input order.
 
     Songs longer than ``long_song_samples`` interleaved samples (~3 min at
-    the default 2^23) are analyzed via the chunked streaming path
-    (features/streaming.py): fixed compiled shapes regardless of length, so
+    the default 2^23; a routing threshold only — the streamed chunk size
+    is the fixed features/streaming.DEFAULT_CHUNK) are analyzed via the
+    chunked streaming path: fixed compiled shapes regardless of length, so
     an 11-minute song no longer costs its own giant-shape compile; extended
-    features stream too. The parity/strict modes and meshed scans keep the
-    whole-shape path (pass ``long_song_samples=None`` to force it always).
+    features stream too. The parity/strict/literal-fft modes and meshed
+    scans keep the whole-shape path (pass ``long_song_samples=None`` to
+    force it always).
 
     progress: optional callback (done, total, message). With
     ``extended=True`` the ROADMAP feature set (zcr, loudness, spectral
@@ -312,39 +319,30 @@ def analyze_library(
                     long_song_samples is not None
                     and decoded.n_samples > long_song_samples
                     and mesh is None
-                    and not cfg.strict_accumulation
-                    and cfg.amplitude_mode != "iterative"
+                    and streaming_supports(cfg)
                 ):
-                    from bliss_tpu.features.streaming import (
-                        analyze_song_streaming,
-                    )
+                    # chunked streaming on the shared finalize thread so the
+                    # decode stream and batch overlap keep flowing; the
+                    # result rides the normal in_flight/finalize_oldest path
+                    def _stream_one(d=decoded):
+                        with timer.stage("streaming"):
+                            return analyze_song_streaming(
+                                np.asarray(d.samples),
+                                d.duration,
+                                cfg,
+                                chunk_samples=DEFAULT_CHUNK,
+                                extended=extended,
+                            )[None, :]
 
-                    with timer.stage("streaming"):
-                        row = analyze_song_streaming(
-                            np.asarray(decoded.samples),
-                            decoded.duration,
-                            cfg,
-                            chunk_samples=long_song_samples,
-                            extended=extended,
+                    in_flight.append(
+                        (
+                            [(j, decoded)],
+                            "stream",
+                            finalize_pool.submit(_stream_one),
                         )
-                    features[j] = row[:4]
-                    if extended:
-                        ext_features[j] = row[4:]
-                    ok[j] = True
-                    done += 1
-                    if store is not None and j in fps:
-                        store.put(
-                            fps[j],
-                            row,
-                            {
-                                "filename": files[j],
-                                "title": decoded.title,
-                                "artist": decoded.artist,
-                            },
-                        )
-                    _progress(
-                        f"analyzed long song streamed (n={decoded.n_samples})"
                     )
+                    while len(in_flight) > max_in_flight:
+                        finalize_oldest()
                     continue
                 L = _bucket_length(decoded.n_samples, cfg.pad_multiple)
                 buckets.setdefault(L, []).append((j, decoded))

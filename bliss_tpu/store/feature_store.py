@@ -139,17 +139,22 @@ class FeatureStore:
         with self._lock:
             if not self._dirty:
                 return
-            keys = sorted(self._dirty)
-            feats = np.stack([self._features[k] for k in keys])
-            shard = f"shard-{int(time.time() * 1000):x}-{len(keys)}.npz"
-            tmp = os.path.join(self.path, shard + ".tmp")
-            with open(tmp, "wb") as f:
-                np.savez_compressed(f, keys=np.array(keys), features=feats)
-            os.replace(tmp, os.path.join(self.path, shard))
-
-            with open(self._shard_log(), "a") as f:
-                f.write(json.dumps({"shard": shard}) + "\n")
-            self._shards.append(shard)
+            by_width: dict[int, list[str]] = {}
+            for k in sorted(self._dirty):
+                by_width.setdefault(self._features[k].shape[0], []).append(k)
+            stamp = int(time.time() * 1000)
+            for width, keys in sorted(by_width.items()):
+                feats = np.stack([self._features[k] for k in keys])
+                shard = f"shard-{stamp:x}-w{width}-{len(keys)}.npz"
+                tmp = os.path.join(self.path, shard + ".tmp")
+                with open(tmp, "wb") as f:
+                    np.savez_compressed(
+                        f, keys=np.array(keys), features=feats
+                    )
+                os.replace(tmp, os.path.join(self.path, shard))
+                with open(self._shard_log(), "a") as f:
+                    f.write(json.dumps({"shard": shard}) + "\n")
+                self._shards.append(shard)
 
             if self._dirty_meta:
                 with open(self._meta_log(), "a") as f:
@@ -165,25 +170,37 @@ class FeatureStore:
             self.compact()
 
     def compact(self) -> None:
-        """Merge all shards into one; dedup + rewrite the logs; drop any
-        legacy index.json/meta.json."""
+        """Merge all shards into one per row width; dedup + rewrite the
+        logs; drop any legacy index.json/meta.json. (Widths can mix when a
+        store holds both core 4-wide and extended rows — e.g. a re-scan
+        with --extended into an existing store — so each width compacts to
+        its own shard; np.stack over mixed shapes would crash.)"""
         with self._lock:
             if not self._features:
                 return
-            keys = sorted(self._features)
-            feats = np.stack([self._features[k] for k in keys])
-            shard = f"shard-compact-{int(time.time() * 1000):x}-{len(keys)}.npz"
-            with open(os.path.join(self.path, shard + ".tmp"), "wb") as f:
-                np.savez_compressed(f, keys=np.array(keys), features=feats)
-            os.replace(
-                os.path.join(self.path, shard + ".tmp"),
-                os.path.join(self.path, shard),
-            )
-            old = [s for s in self._shards if s != shard]
+            by_width: dict[int, list[str]] = {}
+            for k in sorted(self._features):
+                by_width.setdefault(self._features[k].shape[0], []).append(k)
+            new_shards = []
+            stamp = int(time.time() * 1000)
+            for width, keys in sorted(by_width.items()):
+                feats = np.stack([self._features[k] for k in keys])
+                shard = f"shard-compact-{stamp:x}-w{width}-{len(keys)}.npz"
+                with open(os.path.join(self.path, shard + ".tmp"), "wb") as f:
+                    np.savez_compressed(
+                        f, keys=np.array(keys), features=feats
+                    )
+                os.replace(
+                    os.path.join(self.path, shard + ".tmp"),
+                    os.path.join(self.path, shard),
+                )
+                new_shards.append(shard)
+            old = [s for s in self._shards if s not in new_shards]
             with open(self._shard_log() + ".tmp", "w") as f:
-                f.write(json.dumps({"shard": shard}) + "\n")
+                for shard in new_shards:
+                    f.write(json.dumps({"shard": shard}) + "\n")
             os.replace(self._shard_log() + ".tmp", self._shard_log())
-            self._shards = [shard]
+            self._shards = new_shards
 
             with open(self._meta_log() + ".tmp", "w") as f:
                 for k in sorted(self._meta):

@@ -105,7 +105,9 @@ def run_smoke(time_budget_s: float = 1500.0) -> dict:
     ok_all = True
     for name, cfg, sharded in smoke_configs():
         if time.time() - t_start > time_budget_s:
-            results[name] = "skipped (time budget)"
+            # a gate that did not run everything must not read green
+            ok_all = False
+            results[name] = "skipped (time budget) -> gate NOT green"
             continue
         t0 = time.time()
         try:

@@ -173,7 +173,10 @@ def test_cancel_event_drains_and_resumes(tmp_path):
     )
     assert r1.stats["cancelled"]
     n_done = int(r1.ok.sum())
-    assert 0 < n_done < len(files)  # partial: drained, not completed
+    # Usually partial (drained, not completed); under heavy CI load every
+    # batch can already be in flight when the event lands, and draining
+    # them all is correct behavior — so only the lower bound is strict.
+    assert 0 < n_done <= len(files)
     assert np.isfinite(r1.features[r1.ok]).all()
 
     store2 = FeatureStore(str(tmp_path / "store"))

@@ -76,6 +76,24 @@ def test_large_store_flush_is_flat(tmp_path):
     assert len(s2) == 100_128
 
 
+def test_mixed_width_rows_compact_and_flush(tmp_path):
+    """Core 4-wide and extended rows coexist (e.g. a re-scan with
+    --extended into an old store); compaction/flush must group by width
+    instead of crashing in np.stack (round-3 review finding)."""
+    s = FeatureStore(str(tmp_path), auto_compact_shards=2)
+    _fill(s, 0, 10, width=4)
+    s.flush()
+    for b in range(4):  # crosses the auto-compact threshold mid-scan
+        _fill(s, 100 + 10 * b, 10, width=45)
+        s.flush()
+    assert len(s) == 50
+    s.compact()
+    s2 = FeatureStore(str(tmp_path))
+    assert len(s2) == 50
+    assert s2.get("key00000003").shape == (4,)
+    assert s2.get("key00000105").shape == (45,)
+
+
 def test_legacy_layout_migrates(tmp_path):
     """A store written with the pre-round-3 layout (index.json + meta.json)
     loads, and compact() converts it to the append-only layout."""
