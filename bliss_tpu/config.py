@@ -151,15 +151,21 @@ class AnalysisConfig:
 
     @staticmethod
     def for_tpu() -> "AnalysisConfig":
-        """Fast float32 production mode: fused Pallas kernels + the
+        """Fast float32 production mode: the single-pass fused Pallas
+        kernel (one HBM read computes all three analyzers) + the
         double-single envelope finish, all on device — beat-exact with no
         host float64 stage (validated beat-exact vs the reference binary on
-        the 50-case differential fuzz, round 3)."""
+        the differential fuzz, round 3). Measured 5.42 ms / 128-song batch
+        on v5e-1 (~23.6k songs/s) vs 6.06 ms for the two-kernel form —
+        single_pass pays off once the exact finish raises the non-read
+        share of the budget. (The mesh path keeps the two-kernel form for
+        its halo logic; analyze_sharded ignores single_pass.)"""
         return AnalysisConfig(
             dtype="float32",
             amplitude_mode="poly",
             tempo_finish="device_exact",
             fused_kernel=True,
+            single_pass=True,
         )
 
     @staticmethod

@@ -88,10 +88,7 @@ def main():
             tempo_finish="host",
         )
     elif mode == "device_exact":
-        cfg = AnalysisConfig(
-            dtype="float32", amplitude_mode="poly", fused_kernel=True,
-            tempo_finish="device_exact",
-        )
+        cfg = AnalysisConfig.for_tpu()  # the production config, verbatim
     else:
         cfg = AnalysisConfig.for_parity()
     rng = np.random.RandomState(1234)
