@@ -75,6 +75,14 @@ class AnalysisConfig:
     # all-f32 path).
     fused_conv: str = "split"
 
+    # Fused-kernel STFT matrix precision: "precise" runs the 5-matmul
+    # bf16-split DFT (~2^-23 absolute — the reference's own float32 FFT
+    # noise floor; worst-case frequency-score deviation ~1e-3 on
+    # pathological near-silent-band content); "fast" keeps the 3-matmul
+    # form (~2^-16 absolute; quiet-bin dB can deviate up to ~0.1 on such
+    # content — fine for loud music, measured round-3 fuzz).
+    stft_conv: str = "precise"
+
     # Single-pass mode: ONE Pallas kernel computes amplitude + tempo + STFT
     # power from one HBM read of the PCM (kernels/fused_all.py) instead of
     # two kernels each streaming it. Requires fused_kernel; single-device
@@ -103,6 +111,11 @@ class AnalysisConfig:
             raise ValueError(
                 f"unknown tempo_finish {self.tempo_finish!r}: use 'device', "
                 "'device_exact', or 'host'"
+            )
+        if self.stft_conv not in ("precise", "fast"):
+            raise ValueError(
+                f"unknown stft_conv {self.stft_conv!r}: use 'precise' or "
+                "'fast'"
             )
         if self.single_pass and self.fused_conv != "split":
             raise ValueError(
@@ -155,11 +168,14 @@ class AnalysisConfig:
         kernel (one HBM read computes all three analyzers) + the
         double-single envelope finish, all on device — beat-exact with no
         host float64 stage (validated beat-exact vs the reference binary on
-        the differential fuzz, round 3). Measured 5.42 ms / 128-song batch
-        on v5e-1 (~23.6k songs/s) vs 6.06 ms for the two-kernel form —
-        single_pass pays off once the exact finish raises the non-read
-        share of the budget. (The mesh path keeps the two-kernel form for
-        its halo logic; analyze_sharded ignores single_pass.)"""
+        the differential fuzz, round 3), and the 5-matmul "precise" STFT
+        (spectrum at the reference's own f32-FFT noise floor, ~2^-23).
+        Measured 6.10 ms / 128-song batch on v5e-1 (~21.0k songs/s) vs
+        6.67 ms for the two-kernel form; stft_conv="fast" trades the
+        spectrum floor for 5.40 ms (~23.7k songs/s — fine for loud music,
+        ~0.1 frequency-score error on near-silent-band content). (The mesh
+        path keeps the two-kernel form for its halo logic; analyze_sharded
+        ignores single_pass.)"""
         return AnalysisConfig(
             dtype="float32",
             amplitude_mode="poly",

@@ -57,6 +57,7 @@ def _single_pass_stage(batch: PCMBatch, cfg: AnalysisConfig):
         nb_bands=cfg.nb_bands,
         band_taps=cfg.band_taps,
         filterbank=cfg.filterbank,
+        stft_precise=cfg.stft_conv == "precise",
     )
     amplitude = (
         jnp.float32(Cn.AMPLITUDE_SCALE) * amp_integral.astype(jnp.float32)

@@ -58,6 +58,7 @@ def _kernel(
     convl_ref,  # VMEM [BLK+k, BLK] bf16: band's banded FIR (residual)
     mh_ref,    # VMEM [1024, 512] bf16 downmix-DFT (high)
     ml_ref,    # VMEM [1024, 512] bf16 downmix-DFT (residual)
+    m3_ref,    # VMEM [1024, 512] bf16 downmix-DFT (residual of residual)
     out_ref,   # VMEM [1, 1, 1, 8, 4*FCHUNK] f32 tempo/amp stats
                # (stacked-piece order c*FCHUNK + r along the last axis)
     pow_ref,   # VMEM [1, 8, 512] f32 STFT accumulator (row 0)
@@ -66,6 +67,7 @@ def _kernel(
     halfwidth,
     k,
     fchunk,
+    stft_precise,
 ):
     j = pl.program_id(1)
     b = pl.program_id(2)
@@ -106,6 +108,10 @@ def _kernel(
             + dotf(bb16, mh_ref[:, :])
             + 256.0 * dotf(ab16, ml_ref[:, :])
         )
+        if stft_precise:  # 5-matmul form, ~2^-23 abs (pallas_stft notes)
+            y = y + dotf(bb16, ml_ref[:, :]) + 256.0 * dotf(
+                ab16, m3_ref[:, :]
+            )
         partial = jnp.sum(y * y, axis=0)
         row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * NBINS), 0)
         pow_ref[0] = pow_ref[0] + jnp.where(row8 == 0, partial, 0.0)
@@ -197,6 +203,7 @@ def fused_all_call(
     nb_bands: int = 1,
     band_taps: int = 17,
     filterbank: str = "firwin",
+    stft_precise: bool = True,
 ):
     """One-pass kernel invocation.
 
@@ -248,7 +255,7 @@ def fused_all_call(
     conv = tables.conv_band_matrices(NB, band_taps, filterbank)
     convh = conv.astype(ml_dtypes.bfloat16)
     convl = (conv - convh.astype(np.float64)).astype(ml_dtypes.bfloat16)
-    mh, ml = _downmix_dft_split()
+    mh, ml, m3 = _downmix_dft_split()
 
     kern = functools.partial(
         _kernel,
@@ -256,6 +263,7 @@ def fused_all_call(
         halfwidth=float(A),
         k=K,
         fchunk=fchunk,
+        stft_precise=stft_precise,
     )
     FC = fchunk
     out, power = pl.pallas_call(
@@ -292,6 +300,10 @@ def fused_all_call(
                 (FRAME, 2 * NBINS), lambda i, j, b: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (FRAME, 2 * NBINS), lambda i, j, b: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -317,6 +329,7 @@ def fused_all_call(
         jnp.asarray(convl),
         jnp.asarray(mh, jnp.bfloat16),
         jnp.asarray(ml, jnp.bfloat16),
+        jnp.asarray(m3, jnp.bfloat16),
     )
 
     # Undo the kernel's stacked-piece order (c*FC + r) back to hop-block
@@ -348,11 +361,13 @@ def fused_all_call(
     jax.jit,
     static_argnames=(
         "interpret", "fchunk", "nb_bands", "band_taps", "filterbank",
+        "stft_precise",
     ),
 )
 def fused_all_stats(samples, n_samples, interpret: bool = False,
                     fchunk: int = 240, nb_bands: int = 1,
-                    band_taps: int = 17, filterbank: str = "firwin"):
+                    band_taps: int = 17, filterbank: str = "firwin",
+                    stft_precise: bool = True):
     """samples: int16 [B, L]; n_samples: int32 [B].
 
     Returns (amp_integral [B], energies [B, NB, NW], power [B, 257]) from
@@ -377,6 +392,7 @@ def fused_all_stats(samples, n_samples, interpret: bool = False,
     wsum, rownz, energies, power = fused_all_call(
         samples, alpha, beta, n_frames, interpret=interpret, fchunk=fchunk,
         nb_bands=nb_bands, band_taps=band_taps, filterbank=filterbank,
+        stft_precise=stft_precise,
     )
     start, end = trim_bounds_from_rownz(samples, rownz, L)
     trimlen = (end - start + 1).astype(jnp.float32)

@@ -48,9 +48,16 @@ FRAME = 2 * C.WINDOW_SIZE   # 1024 interleaved samples per window
 
 
 @functools.lru_cache(maxsize=None)
-def _downmix_dft_split() -> tuple[np.ndarray, np.ndarray]:
+def _downmix_dft_split() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """[1024, 512] duplicated-row hann-folded (re|im) DFT matrix, split into
-    (bf16 high, bf16 residual) parts."""
+    three cascading bf16 parts (high, residual, residual-of-residual).
+
+    The third part powers the "precise" spectrum mode: the 3-matmul fast
+    form's ~2^-16-relative ABSOLUTE spectra error is fine for loud bins
+    but, through the analyzer's peak-relative dB, inflates to ~0.1 score
+    error on pathological near-silent-band content (round-3 fuzz, 6/200
+    cases); two more matmuls (b2@Ml + 256*a@M3) push the floor to ~2^-23 —
+    the reference's own float32 FFT noise level."""
     dre, dim = tables.rdft_matrices()
     h = tables.hann_window()[:, None]
     cat = np.concatenate([h * dre[:, :NBINS], h * dim[:, :NBINS]], axis=1)
@@ -59,13 +66,16 @@ def _downmix_dft_split() -> tuple[np.ndarray, np.ndarray]:
 
     mh = m.astype(ml_dtypes.bfloat16)
     ml = (m - mh.astype(np.float64)).astype(ml_dtypes.bfloat16)
-    return mh, ml
+    m3 = (m - mh.astype(np.float64) - ml.astype(np.float64)).astype(
+        ml_dtypes.bfloat16
+    )
+    return mh, ml, m3
 
 
-def _kernel(nf_ref, x_ref, mh_ref, ml_ref, out_ref, *, fchunk):
+def _kernel(nf_ref, x_ref, mh_ref, ml_ref, m3_ref, out_ref, *, fchunk, precise):
     # nf_ref: SMEM [1, 1, 2] int32 (n_frames, global frame offset)
     # x_ref: VMEM [1, FCHUNK, 1024] int16 interleaved stereo frames
-    # mh/ml: VMEM [1024, 512] bf16 downmix-DFT matrix (high/residual)
+    # mh/ml/m3: VMEM [1024, 512] bf16 downmix-DFT matrix split parts
     # out_ref: VMEM [1, 8, 512] float32 accumulator (row 0 used)
     j = pl.program_id(1)
 
@@ -103,14 +113,16 @@ def _kernel(nf_ref, x_ref, mh_ref, ml_ref, out_ref, *, fchunk):
     y = 256.0 * dot(ab16, mh_ref[:, :]) + dot(bb16, mh_ref[:, :]) + 256.0 * dot(
         ab16, ml_ref[:, :]
     )  # [FCHUNK, 512] f32: re in lanes 0..255, im in lanes 256..511
+    if precise:  # 5-matmul form: ~2^-23 absolute (see _downmix_dft_split)
+        y = y + dot(bb16, ml_ref[:, :]) + 256.0 * dot(ab16, m3_ref[:, :])
 
     partial = jnp.sum(y * y, axis=0)  # [512]
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 2 * NBINS), 0)
     out_ref[0] = out_ref[0] + jnp.where(row == 0, partial, 0.0)
 
 
-@jax.jit
-def stft_power(samples, n_samples, frame_offset=None):
+@functools.partial(jax.jit, static_argnames=("precise",))
+def stft_power(samples, n_samples, frame_offset=None, precise=True):
     """samples: int16 [B, L] interleaved stereo; returns [B, 257] float32
     power spectra summed over the song's non-overlapping windows (the
     Nyquist column is zero — the reference never accumulates it).
@@ -141,8 +153,11 @@ def stft_power(samples, n_samples, frame_offset=None):
     )
     nf = jnp.stack([n_frames, off], axis=1)[:, None, :]
 
-    mh, ml = _downmix_dft_split()
-    kern = functools.partial(_kernel, fchunk=FCHUNK)
+    mh, ml, m3 = _downmix_dft_split()
+    kern = functools.partial(_kernel, fchunk=FCHUNK, precise=precise)
+    mat_spec = pl.BlockSpec(
+        (FRAME, 2 * NBINS), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kern,
         grid=(B, NC),
@@ -155,14 +170,9 @@ def stft_power(samples, n_samples, frame_offset=None):
                 lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (FRAME, 2 * NBINS), lambda i, j: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (FRAME, 2 * NBINS), lambda i, j: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            mat_spec,
+            mat_spec,
+            mat_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, 8, 2 * NBINS), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
@@ -174,6 +184,7 @@ def stft_power(samples, n_samples, frame_offset=None):
         x.reshape(B, NFP, FRAME),
         jnp.asarray(mh, jnp.bfloat16),
         jnp.asarray(ml, jnp.bfloat16),
+        jnp.asarray(m3, jnp.bfloat16),
     )
     power = out[:, 0, :NBINS] + out[:, 0, NBINS:]  # re^2 + im^2, bins 0..255
     return jnp.pad(power, ((0, 0), (0, 1)))  # Nyquist column = 0
@@ -181,7 +192,9 @@ def stft_power(samples, n_samples, frame_offset=None):
 
 def frequency_scores_fused(batch, cfg):
     """Frequency scores using the Pallas STFT-power kernel."""
-    power = stft_power(batch.samples, batch.n_samples)
+    power = stft_power(
+        batch.samples, batch.n_samples, precise=cfg.stft_conv == "precise"
+    )
     return frequency_scores_from_power(power, cfg)
 
 

@@ -211,7 +211,11 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
             from bliss_tpu.kernels.pallas_stft import stft_power
 
             power = jax.lax.psum(
-                stft_power(s16, n, frame_offset=seq_ix * slots_l), "seq"
+                stft_power(
+                    s16, n, frame_offset=seq_ix * slots_l,
+                    precise=cfg.stft_conv == "precise",
+                ),
+                "seq",
             ).astype(dtype)
             power_score = power
 

@@ -61,6 +61,23 @@ def smoke_configs():
                 False,
             )
         )
+    # stft_conv="fast" (3-matmul spectrum): both kernel arrangements. The
+    # default "precise" 5-matmul branch is covered by every config above.
+    for sp in (False, True):
+        cfgs.append(
+            (
+                f"bands1-stft_fast{'-single_pass' if sp else ''}",
+                AnalysisConfig(
+                    dtype="float32",
+                    amplitude_mode="poly",
+                    fused_kernel=True,
+                    single_pass=sp,
+                    stft_conv="fast",
+                    tempo_finish="device_exact",
+                ),
+                False,
+            )
+        )
     # sharded (shard_map) two-kernel path, 1 and 5 bands
     for nb, fbk in ((1, "firwin"), (5, "reference5")):
         cfgs.append(

@@ -273,6 +273,87 @@ def test_single_pass_kernel_matches_two_kernel_path(batch):
     assert np.abs(one[:, 0] - two[:, 0]).max() < 1.0
 
 
+def _stft_power_oracle(samples: np.ndarray) -> np.ndarray:
+    """float64 literal: c_div stereo downmix, hann, rfft power summed over
+    non-overlapping 512-sample windows, Nyquist dropped (the reference's
+    frequency loop, src/frequency_sort.c:60-93, in exact arithmetic)."""
+    from oracle import c_trunc_div
+    from bliss_tpu import tables
+
+    W = C.WINDOW_SIZE
+    fr = samples.astype(np.int64).reshape(-1, W, 2)
+    mono = np.array(
+        [[c_trunc_div(int(l + r), 2) for l, r in f] for f in fr], np.float64
+    )
+    x = mono * tables.hann_window()[None, :]
+    X = np.fft.rfft(x, axis=-1)
+    p = (X.real**2 + X.imag**2).sum(axis=0)
+    p[-1] = 0.0
+    return p
+
+
+def test_stft_precise_vs_fast_accuracy():
+    """The 5-matmul "precise" spectrum must sit at the f32-FFT noise floor
+    on pathological near-silent-band content where the 3-matmul "fast" form
+    visibly deviates through the peak-relative dB (round-3 fuzz: ~0.1 score
+    error on 6/200 such cases)."""
+    from bliss_tpu.kernels.pallas_stft import (
+        frequency_scores_from_power, stft_power,
+    )
+
+    # Loud low tone + near-silent highs: quiet bins are ~1e-5 of peak, so
+    # a 2^-16-absolute spectrum error is ~their own magnitude.
+    n = 2048 * C.WINDOW_SIZE * 2
+    t = np.arange(n // 2)
+    sig = 24000 * np.sin(2 * np.pi * t / 256.0) + 0.4 * np.sin(
+        2 * np.pi * t / 3.1
+    )
+    samples = np.clip(np.repeat(sig, 2), -32768, 32767).astype(np.int16)
+    b = samples[None, :]
+    nsamp = jnp.asarray([n], jnp.int32)
+
+    truth = _stft_power_oracle(samples)[None, :]
+    fast = np.asarray(stft_power(b, nsamp, precise=False))
+    precise = np.asarray(stft_power(b, nsamp, precise=True))
+
+    cfg = AnalysisConfig(dtype="float64")
+    s_t = float(frequency_scores_from_power(jnp.asarray(truth), cfg)[0])
+    s_f = float(frequency_scores_from_power(jnp.asarray(fast), cfg)[0])
+    s_p = float(frequency_scores_from_power(jnp.asarray(precise), cfg)[0])
+
+    assert abs(s_p - s_t) < 2e-3, (s_p, s_t)
+    assert abs(s_p - s_t) <= abs(s_f - s_t) + 1e-9
+    # amplitude-domain (sqrt power) error on the quiet bins: precise must
+    # gain well over a decade vs fast (measured ~89x here; the residual is
+    # the kernel's own f32 power accumulation, shared with the reference)
+    at, af, ap = (np.sqrt(np.maximum(x, 0.0)) for x in (truth, fast, precise))
+    quiet = at < 1e-2 * at.max()
+    assert quiet.any()
+    e_f = np.abs(af - at)[quiet].max()
+    e_p = np.abs(ap - at)[quiet].max()
+    assert e_p < e_f / 50.0, (e_p, e_f)
+
+
+def test_stft_conv_config_threads_through_analyze(batch):
+    """stft_conv="fast" and "precise" both run end-to-end (fused two-kernel
+    and single-pass) and agree to normal f32 tolerance on ordinary music."""
+    outs = {}
+    for sp in (False, True):
+        for mode in ("precise", "fast"):
+            cfg = AnalysisConfig(
+                dtype="float32", amplitude_mode="poly", fused_kernel=True,
+                single_pass=sp, stft_conv=mode,
+            )
+            outs[(sp, mode)] = np.asarray(
+                jax.jit(lambda b, c=cfg: analyze_batch(b, c))(batch)
+            )
+    base = outs[(False, "precise")]
+    for k, v in outs.items():
+        np.testing.assert_allclose(v[:, 1:], base[:, 1:], atol=1e-3, err_msg=str(k))
+    with pytest.raises(ValueError):
+        AnalysisConfig(stft_conv="nope")
+
+
 def test_single_pass_multiband(batch):
     cfg2 = AnalysisConfig(
         dtype="float32", amplitude_mode="poly", fused_kernel=True,
