@@ -134,9 +134,11 @@ def analyze_library(
     is the fixed features/streaming.DEFAULT_CHUNK) are analyzed via the
     chunked streaming path: fixed compiled shapes regardless of length, so
     an 11-minute song no longer costs its own giant-shape compile; extended
-    features stream too. The parity/strict/literal-fft modes and meshed
-    scans keep the whole-shape path (pass ``long_song_samples=None`` to
-    force it always).
+    features stream too, and meshed scans route their long songs the same
+    way (the mesh keeps serving the normal-length batches; a streamed song
+    runs single-device chunks). Only the parity/strict/literal-fft modes
+    keep the whole-shape path (pass ``long_song_samples=None`` to force it
+    always).
 
     progress: optional callback (done, total, message). With
     ``extended=True`` the ROADMAP feature set (zcr, loudness, spectral
@@ -318,7 +320,6 @@ def analyze_library(
                 if (
                     long_song_samples is not None
                     and decoded.n_samples > long_song_samples
-                    and mesh is None
                     and streaming_supports(cfg)
                 ):
                     # chunked streaming on the shared finalize thread so the

@@ -205,3 +205,19 @@ def test_pipeline_routes_long_songs(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         r_stream.features, r_whole.features, atol=2e-3
     )
+
+    # meshed scans route long songs the same way (round 3): the mesh keeps
+    # serving the normal-length batches, the long song streams single-device
+    import jax
+
+    from bliss_tpu.parallel import analysis_mesh
+
+    mesh = analysis_mesh(2, 1, devices=jax.devices()[:2])
+    r_mesh = analyze_library(
+        paths, cfg=CFG, batch_size=2, long_song_samples=1 << 18, mesh=mesh
+    )
+    assert r_mesh.ok.all()
+    assert "streaming" in r_mesh.stats
+    np.testing.assert_allclose(
+        r_mesh.features, r_stream.features, atol=2e-3
+    )
