@@ -35,8 +35,9 @@ from bliss_tpu.sim import cosine_similarity as _cosine_fn
 
 
 # Songs longer than this (interleaved samples, ~3 min) analyze via the
-# chunked streaming path — same cap analyze_library uses by default.
-LONG_SONG_SAMPLES = 1 << 23
+# chunked streaming path — re-exported from the pipeline (the single
+# definition) so Song.analyze and analyze_library can never disagree.
+from bliss_tpu.pipeline import LONG_SONG_SAMPLES  # noqa: E402
 
 
 def default_config() -> AnalysisConfig:

@@ -25,16 +25,22 @@ import sys
 import numpy as np
 
 
+def is_audio_filename(name: str) -> bool:
+    """Mimetype-based audio filter shared by every scanner surface (CLI
+    walks, the GUI example) so the classification can't drift between
+    them (the filter the reference playlist example uses)."""
+    t, _ = mimetypes.guess_type(name)
+    return bool(t) and t.startswith("audio")
+
+
 def _collect_audio_files(paths: list[str]) -> list[str]:
-    """Expand directories into audio files by mimetype (the filter the
-    reference playlist example uses)."""
+    """Expand directories into audio files by mimetype."""
     out = []
     for p in paths:
         if os.path.isdir(p):
             for root, _, names in os.walk(p):
                 for n in sorted(names):
-                    t, _ = mimetypes.guess_type(n)
-                    if t and t.startswith("audio"):
+                    if is_audio_filename(n):
                         out.append(os.path.join(root, n))
         else:
             out.append(p)

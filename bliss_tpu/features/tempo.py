@@ -373,7 +373,11 @@ def beat_metrics(
     # duration<=0 songs: the CORE tempo=inf is pinned reference behavior,
     # but the extended columns are a new surface — report 0 instead of
     # poisoning z-scored clustering (radio --extended), like beat_loudness.
-    bpm = jnp.where(jnp.isfinite(bpm), bpm, 0.0)
+    # The explicit duration>0 test (not just isfinite) keeps a NEGATIVE
+    # container duration at 0 too, matching beat_metrics_host.
+    bpm = jnp.where(
+        jnp.isfinite(bpm) & (durations.astype(dtype) > 0), bpm, 0.0
+    )
     pk = peaks.astype(dtype)
     peak_mean = jnp.sum(
         jnp.where(peaks, r2[:, 1:-1], 0.0), axis=1

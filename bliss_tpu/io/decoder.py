@@ -116,7 +116,13 @@ def _cache_build_dir() -> str:
     for name in ("decoder.cc", "Makefile"):
         target = os.path.join(d, name)
         if not os.path.exists(target):
-            shutil.copy(os.path.join(_NATIVE_DIR, name), target)
+            # copy via a pid-unique temp + atomic rename: a concurrent
+            # process either sees the complete file or none at all (a bare
+            # shutil.copy could be observed half-written and make would
+            # compile truncated source)
+            tmp = f"{target}.tmp.{os.getpid()}"
+            shutil.copy(os.path.join(_NATIVE_DIR, name), tmp)
+            os.replace(tmp, target)
     return d
 
 

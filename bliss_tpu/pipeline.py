@@ -42,6 +42,11 @@ from bliss_tpu.utils import StageTimer, get_logger, log_event
 
 logger = get_logger("bliss_tpu.pipeline")
 
+# Songs longer than this (interleaved samples, ~3 min) route through the
+# chunked streaming path by default. Single source of truth — api.py
+# re-exports it for the Song API's identical routing decision.
+LONG_SONG_SAMPLES = 1 << 23
+
 
 @dataclasses.dataclass
 class ScanResult:
@@ -125,7 +130,7 @@ def analyze_library(
     extended: bool = False,
     cancel=None,
     handle_sigint: bool = True,
-    long_song_samples: int | None = 1 << 23,
+    long_song_samples: int | None = LONG_SONG_SAMPLES,
 ) -> ScanResult:
     """Analyze a library of audio files; returns features in input order.
 
@@ -264,7 +269,12 @@ def analyze_library(
                 store.put(
                     fps[i],
                     row,
-                    {"filename": files[i], "title": d.title, "artist": d.artist},
+                    {
+                        "filename": files[i],
+                        "title": d.title,
+                        "artist": d.artist,
+                        "album": d.album,
+                    },
                 )
         if store is not None:
             with timer.stage("store_flush"):

@@ -145,7 +145,10 @@ class FeatureStore:
             stamp = int(time.time() * 1000)
             for width, keys in sorted(by_width.items()):
                 feats = np.stack([self._features[k] for k in keys])
-                shard = f"shard-{stamp:x}-w{width}-{len(keys)}.npz"
+                # the running shard ordinal keeps names unique even when two
+                # flushes (or two widths) land in the same millisecond —
+                # otherwise os.replace would silently clobber the first shard
+                shard = f"shard-{stamp:x}-{len(self._shards)}-w{width}-{len(keys)}.npz"
                 tmp = os.path.join(self.path, shard + ".tmp")
                 with open(tmp, "wb") as f:
                     np.savez_compressed(

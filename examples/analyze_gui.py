@@ -22,7 +22,6 @@ All scan logic lives in ScanJob, which is headless-testable
 from __future__ import annotations
 
 import csv
-import mimetypes
 import os
 import sys
 import threading
@@ -33,8 +32,12 @@ CSV_DIALECT = dict(delimiter="|", quotechar="'", quoting=csv.QUOTE_MINIMAL)
 
 
 def discover_audio_files(root: str, recursive: bool = False) -> list[str]:
-    """Audio files under ``root`` by mimetype, sorted for determinism
-    (reference: python/examples/analyze_gui.py:14-24)."""
+    """Audio files under ``root``, sorted for determinism
+    (reference: python/examples/analyze_gui.py:14-24). The mimetype filter
+    is the CLI's, so GUI and CLI scans always agree on what counts as
+    audio."""
+    from bliss_tpu.cli import is_audio_filename
+
     root = os.path.expanduser(root)
     if recursive:
         cands = [
@@ -47,14 +50,7 @@ def discover_audio_files(root: str, recursive: bool = False) -> list[str]:
             cands = [os.path.join(root, f) for f in sorted(os.listdir(root))]
         except OSError:
             return []
-    out = []
-    for f in cands:
-        if not os.path.isfile(f):
-            continue
-        guess = mimetypes.guess_type(f)[0]
-        if guess is not None and "audio" in guess:
-            out.append(f)
-    return out
+    return [f for f in cands if os.path.isfile(f) and is_audio_filename(f)]
 
 
 class ScanJob:
@@ -103,6 +99,14 @@ class ScanJob:
 
     # -- the actual work (callable synchronously in tests) ---------------
     def run(self) -> int:
+        try:
+            return self._run()
+        except Exception as e:  # worker thread: an unreported exception
+            # would leave the view stuck on "scanning…" forever
+            self.on_error(f"scan failed: {e}")
+            return 0
+
+    def _run(self) -> int:
         files = discover_audio_files(self.library_dir, self.recursive)
         if not files:
             # same user-facing message as the reference (analyze_gui.py:27)

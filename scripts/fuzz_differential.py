@@ -6,14 +6,17 @@ beat trains, sweeps, silence gaps), writes them as FLAC, analyzes each with
 the reference binary (baseline/build/analyze) and with bliss-tpu's float64
 parity mode, and reports the deviation distribution per feature.
 
-Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact]
+Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact|streaming]
 
 "parity" (default) compares the float64 parity mode (expected deviation
 ~1e-5). "hybrid" compares the fused-kernel configuration with the host
 float64 envelope finish; "device_exact" the production round-3 mode where
 the finish runs ON DEVICE in double-single arithmetic — in both, beats
 must stay exact (tempo deviation << one 4/duration quantum) and other
-features sit within the float32 gate (5e-4).
+features sit within the float32 gate (5e-4). "streaming" generates LONG
+songs (2-7 minutes) and runs them through the chunked fixed-shape path
+(features/streaming.py) — the route every >~3-min song takes in
+production — under the same beat-exact gate.
 """
 
 import sys, os
@@ -57,9 +60,10 @@ def random_song(rng, seconds, sr=22050):
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
-    if mode not in ("parity", "hybrid", "device_exact"):
+    if mode not in ("parity", "hybrid", "device_exact", "streaming"):
         raise SystemExit(
-            f"unknown mode {mode!r}: use 'parity', 'hybrid', or 'device_exact'"
+            f"unknown mode {mode!r}: use 'parity', 'hybrid', "
+            "'device_exact', or 'streaming'"
         )
     if not os.path.exists(os.path.join(BUILD, "analyze")):
         subprocess.run(
@@ -89,6 +93,10 @@ def main():
         )
     elif mode == "device_exact":
         cfg = AnalysisConfig.for_tpu()  # the production config, verbatim
+    elif mode == "streaming":
+        # the config the pipeline hands to analyze_song_streaming (which
+        # always finishes the envelope in host float64)
+        cfg = AnalysisConfig(dtype="float32")
     else:
         cfg = AnalysisConfig.for_parity()
     rng = np.random.RandomState(1234)
@@ -99,7 +107,11 @@ def main():
             # resampler end-to-end on both sides (same swresample library ->
             # identical PCM -> identical features expected)
             sr = 22050 if i % 4 == 0 else [44100, 48000, 32000][(i % 4) - 1]
-            frames = random_song(rng, int(rng.randint(3, 9)), sr=sr)
+            seconds = (
+                int(rng.randint(120, 420)) if mode == "streaming"
+                else int(rng.randint(3, 9))
+            )
+            frames = random_song(rng, seconds, sr=sr)
             path = os.path.join(tmp, f"fuzz{i}.flac")
             write_flac(path, frames, sr)
             out = subprocess.run(
@@ -114,11 +126,20 @@ def main():
                 print(f"case {i}: reference failed to analyze"); continue
             ref = np.array([float(m.group(k)) for k in range(1, 5)])
             d = decode(path)
-            batch = PCMBatch.from_arrays([np.asarray(d.samples)], [d.duration])
-            if mode == "hybrid":
-                ours = np.asarray(analyze_batch_hybrid(batch, cfg))[0]
-            else:  # parity and device_exact are both fully jitted paths
-                ours = np.asarray(analyze_batch_jit(batch, cfg))[0]
+            if mode == "streaming":
+                from bliss_tpu.features.streaming import analyze_song_streaming
+
+                ours = analyze_song_streaming(
+                    np.asarray(d.samples), d.duration, cfg
+                )
+            else:
+                batch = PCMBatch.from_arrays(
+                    [np.asarray(d.samples)], [d.duration]
+                )
+                if mode == "hybrid":
+                    ours = np.asarray(analyze_batch_hybrid(batch, cfg))[0]
+                else:  # parity and device_exact: fully jitted paths
+                    ours = np.asarray(analyze_batch_jit(batch, cfg))[0]
             dev = np.abs(ours - ref)
             devs.append(dev)
             gate = 1e-3 if mode == "parity" else 5e-4 * 2

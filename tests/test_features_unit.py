@@ -183,3 +183,26 @@ def test_envelope_finish_host_chunked_is_bitwise_identical():
     t4, a4 = envelope_finish_host(fa, n, dur, workers=4)
     np.testing.assert_array_equal(t1, t4)
     np.testing.assert_array_equal(a1, a4)
+
+
+def test_beat_metrics_nonpositive_duration_reports_zero_bpm():
+    """duration<=0 (zero OR negative container metadata) must yield bpm 0
+    from BOTH the device and host implementations — a negative finite bpm
+    would poison z-scored clustering and diverge from the streamed path."""
+    import jax.numpy as jnp
+
+    from bliss_tpu import constants as C
+    from bliss_tpu.features.tempo import beat_metrics, beat_metrics_host
+
+    rng = np.random.RandomState(9)
+    fa = np.abs(rng.randn(3, 1, 256)).astype(np.float32) * 50
+    n = np.full(3, 256 * C.TEMPO_HOP, np.int64)
+    dur = np.array([2.0, 0.0, -3.0])
+    bpm_d, _ = beat_metrics(
+        jnp.asarray(fa), jnp.asarray(n), jnp.asarray(dur, jnp.float32),
+        AnalysisConfig(),
+    )
+    bpm_h, _ = beat_metrics_host(fa, n, dur)
+    assert float(bpm_d[0]) > 0 and float(bpm_h[0]) > 0
+    assert float(bpm_d[1]) == float(bpm_h[1]) == 0.0
+    assert float(bpm_d[2]) == float(bpm_h[2]) == 0.0

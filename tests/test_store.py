@@ -114,3 +114,23 @@ def test_legacy_layout_migrates(tmp_path):
     assert not os.path.exists(os.path.join(p, "meta.json"))
     s2 = FeatureStore(p)
     assert len(s2) == 2 and s2.metadata("a")["filename"] == "a.flac"
+
+
+def test_same_millisecond_flushes_do_not_collide(tmp_path, monkeypatch):
+    """Two flushes inside one millisecond (tight loops, tests) must land in
+    DIFFERENT shard files — the name carries a running shard ordinal, or
+    os.replace would silently clobber the first flush's rows."""
+    import time as _time
+
+    import bliss_tpu.store.feature_store as fs_mod
+
+    monkeypatch.setattr(fs_mod.time, "time", lambda: 1234.5678)
+    s = FeatureStore(str(tmp_path))
+    s.put("a", np.ones(4, np.float32), {"filename": "a.flac"})
+    s.flush()
+    s.put("b", np.full(4, 2.0, np.float32), {"filename": "b.flac"})
+    s.flush()
+    monkeypatch.undo()
+
+    s2 = FeatureStore(str(tmp_path))
+    assert s2.get("a") is not None and s2.get("b") is not None
