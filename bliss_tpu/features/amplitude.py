@@ -114,16 +114,31 @@ def _integral_poly(s, seg, start, end, cfg):
     return dot * (jnp.asarray(100.0, dtype) / span)
 
 
-def _integral_iterative(s, seg, start, end, cfg):
+def hist_crop_counts(s, seg):
+    """[B, _CROP_W] histogram counts of the samples selected by ``seg``,
+    cropped to the 4096 bins the iterative integral can see (int32 —
+    exact; shared by the whole-shape path and the streaming chunks)."""
     B = s.shape[0]
     bin_idx = s + ((1 << 15) - _CROP_LO)
     in_crop = (bin_idx >= 0) & (bin_idx < _CROP_W) & seg
     bin_idx = jnp.clip(bin_idx, 0, _CROP_W - 1)
-    hist = jnp.zeros((B, _CROP_W), jnp.float32)
-    hist = hist.at[
+    hist = jnp.zeros((B, _CROP_W), jnp.int32)
+    return hist.at[
         jnp.arange(B, dtype=jnp.int32)[:, None], bin_idx
-    ].add(in_crop.astype(jnp.float32), mode="drop")
+    ].add(in_crop.astype(jnp.int32), mode="drop")
 
+
+def _integral_iterative(s, seg, start, end, cfg):
+    hist = hist_crop_counts(s, seg).astype(jnp.float32)
+    return integral_from_hist(hist, (end - start), cfg)
+
+
+def integral_from_hist(hist, span, cfg):
+    """The iterative integral from an assembled [B, _CROP_W] float32
+    histogram and the trimmed span (end - start): the reference's 301
+    float32 smoothing passes + windowed (optionally strictly-ordered)
+    sum. Length-independent — this is why the iterative mode streams:
+    chunks accumulate counts, this runs once on the total."""
     # Multiplier 1/27 applied in float64 then stored float32, exactly like
     # `1./27. * (float sums)` in C; fall back to float32 when x64 is off.
     mul_dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
@@ -147,7 +162,7 @@ def _integral_iterative(s, seg, start, end, cfg):
     window = hist[:, lo : hi + 1]
     # Per-bin normalize in float32 (C divides by the negative span then takes
     # fabs; same as dividing by the positive span for nonnegative counts).
-    span = (end - start).astype(jnp.float32)
+    span = span.astype(jnp.float32)
     norm = jnp.abs(
         (window / span[:, None]).astype(mul_dtype) * 100.0
     ).astype(jnp.float32)

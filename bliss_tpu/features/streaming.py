@@ -57,16 +57,16 @@ _SUB = 256  # sub-block for exact integer partial sums
 def streaming_supports(cfg: AnalysisConfig) -> bool:
     """Whether a config's semantics are reproducible chunk-by-chunk.
 
-    The strict parity modes pin whole-shape sequential accumulation orders
-    (fft_strict's float32 running sum, iterative amplitude's 301 passes,
-    strict_accumulation) and the literal-fft modes request specific ops
-    the streamed Parseval/matmul pipeline would silently substitute."""
-    return (
-        not cfg.strict_accumulation
-        and cfg.amplitude_mode != "iterative"
-        and cfg.tempo_energy_mode == "parseval"
-        and cfg.spectrum_mode == "matmul"
-    )
+    Every mode streams (so this returns True; it remains the pipeline's
+    routing hook). The strict parity modes pin whole-shape SEQUENTIAL
+    accumulation orders, but those orders are chunk-decomposable too:
+    frequency's strict float32 running sum carries across in-order chunks
+    (masked tail frames add exact +0.0 no-ops), the iterative amplitude's
+    301 smoothing passes run on the assembled length-independent cropped
+    histogram, and fft/fft_strict tempo windows are window-reset FIRs
+    whose strict order is over BINS WITHIN a window — windows never cross
+    state, so they compute chunk-locally with a one-hop lookahead."""
+    return True
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "extended"))
@@ -74,16 +74,20 @@ def _pass1_chunk(
     chunk: jnp.ndarray,
     base: jnp.ndarray,
     n: jnp.ndarray,
+    freq_acc: jnp.ndarray,
     cfg: AnalysisConfig,
     extended: bool = False,
 ):
-    """One [CH] int16 chunk -> streaming partials (see module docstring).
+    """One [CH] int16 chunk -> dict of streaming partials (see module
+    docstring).
 
-    base: global index of chunk[0]; n: song's true sample count. With
-    ``extended``, also returns the ROADMAP-feature partials (RMS sum,
-    zero-cross flips, per-frame rolloff/flatness/MFCC accumulations) —
-    everything else the extended set needs is host-derivable from the
-    accumulated full spectrum.
+    base: global index of chunk[0]; n: song's true sample count.
+    freq_acc: the carried [W//2+1] float32 strict-frequency running sum
+    (threaded through and returned updated when cfg.strict_accumulation;
+    ignored otherwise). With ``extended``, also returns the
+    ROADMAP-feature partials (RMS sum, zero-cross flips, per-frame
+    rolloff/flatness/MFCC accumulations) — everything else the extended
+    set needs is host-derivable from the accumulated full spectrum.
     """
     dtype = cfg.jnp_dtype
     CH = chunk.shape[0]
@@ -91,33 +95,46 @@ def _pass1_chunk(
     gidx = base + jnp.arange(CH, dtype=jnp.int32)
     valid = gidx < n
     sv = jnp.where(valid, s, 0)
+    out: dict = {}
 
-    # --- amplitude weighted dot over valid samples -------------------------
-    if cfg.amplitude_mode == "table":
-        w = jnp.asarray(tables.amplitude_weight_table(), dtype)
-        wv = jnp.take(w, s + (1 << 15), axis=0)
-    else:  # poly (gather-free), shared with features/amplitude.py
-        from bliss_tpu.features.amplitude import poly_weight
+    # --- amplitude partials ------------------------------------------------
+    if cfg.amplitude_mode == "iterative":
+        # exact cropped histogram counts; trimmed zeros are subtracted from
+        # the zero bin on the host (they are zeros by definition), and the
+        # 301 smoothing passes run once on the assembled total
+        from bliss_tpu.features.amplitude import hist_crop_counts
 
-        wv = poly_weight(s.astype(dtype), dtype)
-    amp_dot = jnp.sum(wv * valid.astype(dtype))
+        out["amp_hist"] = hist_crop_counts(sv[None], valid[None])[0]
+    else:
+        if cfg.amplitude_mode == "table":
+            w = jnp.asarray(tables.amplitude_weight_table(), dtype)
+            wv = jnp.take(w, s + (1 << 15), axis=0)
+        else:  # poly (gather-free), shared with features/amplitude.py
+            from bliss_tpu.features.amplitude import poly_weight
+
+            wv = poly_weight(s.astype(dtype), dtype)
+        out["amp_dot"] = jnp.sum(wv * valid.astype(dtype))
 
     nz = (sv != 0) & valid
     any_nz = jnp.any(nz)
-    first = jnp.where(any_nz, base + jnp.argmax(nz).astype(jnp.int32), jnp.int32(2**31 - 1))
-    last = jnp.where(
-        any_nz, base + CH - 1 - jnp.argmax(nz[::-1]).astype(jnp.int32), jnp.int32(-1)
+    out["first"] = jnp.where(
+        any_nz, base + jnp.argmax(nz).astype(jnp.int32), jnp.int32(2**31 - 1)
+    )
+    out["last"] = jnp.where(
+        any_nz,
+        base + CH - 1 - jnp.argmax(nz[::-1]).astype(jnp.int32),
+        jnp.int32(-1),
     )
 
     # --- tempo normalization partials --------------------------------------
-    sum_wrap = jnp.sum(sv, dtype=jnp.int32)  # wrapping, order-free mod 2^32
+    out["sum_wrap"] = jnp.sum(sv, dtype=jnp.int32)  # wrapping mod 2^32
     sub = sv.reshape(CH // _SUB, _SUB)
-    sub_s = jnp.sum(sub, axis=1, dtype=jnp.int32)  # |.| <= 2^23
+    out["sub_s"] = jnp.sum(sub, axis=1, dtype=jnp.int32)  # |.| <= 2^23
     s2 = sv * sv  # <= 2^30, exact int32
-    sub_lo = jnp.sum(
+    out["sub_lo"] = jnp.sum(
         (s2 & 0xFFFF).reshape(CH // _SUB, _SUB), axis=1, dtype=jnp.int32
     )  # <= 2^24
-    sub_hi = jnp.sum(
+    out["sub_hi"] = jnp.sum(
         (s2 >> 16).reshape(CH // _SUB, _SUB), axis=1, dtype=jnp.int32
     )  # <= 2^22
 
@@ -134,14 +151,33 @@ def _pass1_chunk(
     gframe = base // (W * C.CHANNELS) + jnp.arange(fpc, dtype=jnp.int32)
     fmask = gframe < n_frames
     x = x * fmask[:, None].astype(dtype)
-    dre, dim = tables.rdft_matrices()
     hp = jax.lax.Precision.HIGHEST
-    re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
-    im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
+    if cfg.spectrum_mode == "fft":
+        X = jnp.fft.rfft(x, axis=-1)
+        re = jnp.real(X).astype(dtype)
+        im = jnp.imag(X).astype(dtype)
+        # same literal-op semantics as frequency.py's fft branch (the
+        # reference never accumulates the Nyquist bin)
+        re = re.at[..., -1].set(0.0)
+        im = im.at[..., -1].set(0.0)
+    else:
+        dre, dim = tables.rdft_matrices()
+        re = jnp.matmul(x, jnp.asarray(dre, dtype), precision=hp)
+        im = jnp.matmul(x, jnp.asarray(dim, dtype), precision=hp)
     pframe = re * re + im * im  # [fpc, W//2+1]
-    power = jnp.sum(pframe, axis=0)  # [W//2+1]
+    if cfg.strict_accumulation:
+        # the reference's float32 running sum over frames, continued
+        # across chunks: rounding after every add, frames in global order
+        # (masked tail frames contribute exact +0.0 no-ops)
+        raw = (re.astype(jnp.float32) ** 2 + im.astype(jnp.float32) ** 2)
 
-    out = (amp_dot, first, last, sum_wrap, sub_s, sub_lo, sub_hi, power)
+        def add(acc, frame):
+            return acc + frame, None
+
+        out["freq_acc"], _ = jax.lax.scan(add, freq_acc, raw)
+    else:
+        out["power"] = jnp.sum(pframe, axis=0)  # [W//2+1]
+
     if not extended:
         return out
 
@@ -182,10 +218,15 @@ def _pass1_chunk(
         jnp.log(mel + eps), jnp.asarray(dct_ii_matrix(), dtype), precision=hp
     )  # [fpc, 13]
     fm = fmask.astype(dtype)[:, None]
-    mfcc_sum = jnp.sum(mfcc * fm, axis=0)
-    mfcc_sq = jnp.sum(mfcc * mfcc * fm, axis=0)
-
-    return out + (sumsq, flips, roll_num, flat_num, mfcc_sum, mfcc_sq)
+    out.update(
+        sumsq=sumsq,
+        flips=flips,
+        roll_num=roll_num,
+        flat_num=flat_num,
+        mfcc_sum=jnp.sum(mfcc * fm, axis=0),
+        mfcc_sq=jnp.sum(mfcc * mfcc * fm, axis=0),
+    )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -254,6 +295,54 @@ def _pass2_chunk(
     return (W / 2) * sum_y2 + (sum_y * sum_y + sum_a * sum_a) / 2.0
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _pass2_chunk_framed(
+    seg: jnp.ndarray,
+    base: jnp.ndarray,
+    n: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    cfg: AnalysisConfig,
+):
+    """Window energies for one chunk in the FRAMED tempo modes
+    (parseval_framed / fft / fft_strict): seg = [CH payload | 2*hop
+    lookahead] int16 -> [NB, CH//hop] energies.
+
+    These modes replicate the reference's window-reset FIR (each window is
+    filtered from zero state using only its own W samples,
+    reference: src/tempo_atk_sort.c:117-154), so windows carry NO state
+    across chunks — no history prefix, no warm-up corrections; a window
+    starting at the last payload hop merely reads W-hop samples of
+    lookahead. The per-window energy op (including fft_strict's
+    strictly-ordered float32 bin accumulation) is shared with the
+    whole-shape path (features/tempo._window_energy)."""
+    from bliss_tpu.dsp.framing import frame_signal
+    from bliss_tpu.features.tempo import _fir_per_window, _window_energy
+
+    dtype = cfg.jnp_dtype
+    hop = C.TEMPO_HOP
+    W = C.WINDOW_SIZE
+    CH = seg.shape[0] - 2 * hop
+
+    s = seg.astype(jnp.int32)
+    gidx = base + jnp.arange(seg.shape[0], dtype=jnp.int32)
+    valid = gidx < n
+
+    inv = jnp.asarray(1.0 / (1 << 15), dtype)
+    mean_d = mean.astype(dtype) * inv
+    var_d = var.astype(dtype) * inv * inv
+    norm = (s.astype(dtype) * inv - mean_d) / var_d
+    norm = jnp.where(valid, norm, 0.0)  # [CH + 2*hop]
+
+    frames = frame_signal(norm[None], W, hop)[0][: CH // hop]  # [nw, W]
+    fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps, cfg.filterbank)
+    energies = [
+        _window_energy(_fir_per_window(frames[None], dtype, fb[b]), cfg)[0]
+        for b in range(fb.shape[0])
+    ]
+    return jnp.stack(energies, axis=0)  # [NB, CH//hop]
+
+
 def analyze_song_streaming(
     samples: np.ndarray,
     duration: int,
@@ -267,16 +356,10 @@ def analyze_song_streaming(
     appended in EXTENDED_FEATURE_NAMES order, its beat features from the
     float64 host envelope). Beat counts are float64-exact (host finish).
 
-    Unsupported in this path (falls back to whole-shape in the pipeline):
-    strict_accumulation and amplitude_mode='iterative' (parity-test-only
-    modes whose sequential accumulation orders are inherently whole-shape).
+    Every analysis mode streams, including the strict parity modes (see
+    streaming_supports for why their sequential accumulation orders
+    decompose over in-order chunks).
     """
-    if not streaming_supports(cfg):
-        raise ValueError(
-            "streaming path supports the production modes only (no "
-            "strict_accumulation / iterative amplitude / fft tempo or "
-            "spectrum modes — those pin whole-shape accumulation orders)"
-        )
     if chunk_samples % (C.WINDOW_SIZE * C.CHANNELS):
         raise ValueError("chunk_samples must be a multiple of 1024")
 
@@ -302,34 +385,41 @@ def analyze_song_streaming(
     flat_num = 0.0
     mfcc_sum = np.zeros(13, np.float64)
     mfcc_sq = np.zeros(13, np.float64)
+    amp_hist = np.zeros(0, np.int64)  # iterative mode: exact bin counts
+    freq_acc = jnp.zeros(C.WINDOW_SIZE // 2 + 1, jnp.float32)  # strict carry
     for ci in range(n_chunks):
         lo = ci * CH
         payload = samples[lo : lo + CH]
         if payload.shape[0] < CH:
             payload = np.pad(payload, (0, CH - payload.shape[0]))
         out = _pass1_chunk(
-            jnp.asarray(payload), jnp.asarray(np.int32(lo)), n_j, cfg,
-            extended=extended,
+            jnp.asarray(payload), jnp.asarray(np.int32(lo)), n_j, freq_acc,
+            cfg, extended=extended,
         )
-        a, f, l, sw, ss, slo, shi, pw = (np.asarray(o) for o in out[:8])
-        amp_dot += float(a)
-        first = min(first, int(f))
-        last = max(last, int(l))
-        v = (sum_wrap + int(sw)) & 0xFFFFFFFF  # wrapping int32, like C
+        first = min(first, int(out["first"]))
+        last = max(last, int(out["last"]))
+        v = (sum_wrap + int(out["sum_wrap"])) & 0xFFFFFFFF  # wrap like C
         sum_wrap = v - (1 << 32) if v >= (1 << 31) else v
-        sum_s += int(ss.astype(np.int64).sum())
-        sum_s2 += int(shi.astype(np.int64).sum()) * 65536 + int(
-            slo.astype(np.int64).sum()
-        )
-        power += pw.astype(np.float64)
+        sum_s += int(np.asarray(out["sub_s"]).astype(np.int64).sum())
+        sum_s2 += int(
+            np.asarray(out["sub_hi"]).astype(np.int64).sum()
+        ) * 65536 + int(np.asarray(out["sub_lo"]).astype(np.int64).sum())
+        if "amp_hist" in out:
+            h = np.asarray(out["amp_hist"]).astype(np.int64)
+            amp_hist = h if amp_hist.size == 0 else amp_hist + h
+        else:
+            amp_dot += float(out["amp_dot"])
+        if "freq_acc" in out:
+            freq_acc = out["freq_acc"]  # stays on device between chunks
+        else:
+            power += np.asarray(out["power"]).astype(np.float64)
         if extended:
-            sq, fl, rn, fn, ms, mq = (np.asarray(o) for o in out[8:])
-            sumsq += float(sq)
-            flips += int(fl)
-            roll_num += float(rn)
-            flat_num += float(fn)
-            mfcc_sum += ms.astype(np.float64)
-            mfcc_sq += mq.astype(np.float64)
+            sumsq += float(out["sumsq"])
+            flips += int(out["flips"])
+            roll_num += float(out["roll_num"])
+            flat_num += float(out["flat_num"])
+            mfcc_sum += np.asarray(out["mfcc_sum"]).astype(np.float64)
+            mfcc_sq += np.asarray(out["mfcc_sq"]).astype(np.float64)
             # cross-boundary zero-cross pair (host: two mono samples)
             if ci > 0 and lo < n and lo >= 2:
                 m_prev = _c_div_int(
@@ -344,20 +434,42 @@ def analyze_song_streaming(
     var_num = sum_s2 - 2 * mean * sum_s + n * mean * mean  # exact int64 id.
     var = _c_div_int(var_num, max(n, 1))
 
-    # amplitude: subtract weight(0) * (count of trimmed leading/trailing 0s)
+    # amplitude: the trimmed leading/trailing samples are zeros by
+    # definition, so their whole contribution is removable post-hoc —
+    # weight(0) * count from the weighted dot, or count from the zero bin
+    # of the iterative histogram
     if first > last:  # all-zero song
         first, last = 0, max(n - 1, 0)
-    w0 = float(tables.amplitude_weight_table()[1 << 15])
     trimmed = first + (n - 1 - last)
     span = max(last - first, 1)
-    integral = (amp_dot - w0 * trimmed) * 100.0 / span
+    if cfg.amplitude_mode == "iterative":
+        from bliss_tpu.features.amplitude import integral_from_hist
+
+        from bliss_tpu.features.amplitude import _CROP_LO
+
+        zero_bin = (1 << 15) - _CROP_LO  # sample value 0's histogram bin
+        amp_hist[zero_bin] -= trimmed
+        integral = float(
+            integral_from_hist(
+                jnp.asarray(amp_hist[None].astype(np.float32)),
+                jnp.asarray(np.float32(span))[None],
+                cfg,
+            )[0]
+        )
+    else:
+        w0 = float(tables.amplitude_weight_table()[1 << 15])
+        integral = (amp_dot - w0 * trimmed) * 100.0 / span
     amplitude = np.float32(
         np.float32(C.AMPLITUDE_SCALE) * np.float32(integral)
         + np.float32(C.AMPLITUDE_BIAS)
     )
 
     # frequency: peak-relative dB + band score on the accumulated spectrum
-    # (Nyquist zeroed — the reference never accumulates that bin)
+    # (Nyquist zeroed — the reference never accumulates that bin); in
+    # strict mode the carried float32 running sum IS the whole-shape
+    # accumulator, bit for bit
+    if cfg.strict_accumulation:
+        power = np.asarray(freq_acc).astype(np.float64)
     power_core = power.copy()
     power_core[-1] = 0.0
     frequency = _frequency_score_from_power(power_core)
@@ -366,18 +478,34 @@ def analyze_song_streaming(
     from bliss_tpu.features.tempo import envelope_finish_host
 
     mean_j = jnp.asarray(np.int32(mean))
-    var_j = jnp.asarray(np.float32(var))
+    # var in the config dtype: float32 production, float64 parity (the
+    # whole-shape path casts its exact int64 variance the same way —
+    # a float32 round here would break fft_strict's bit parity)
+    var_j = jnp.asarray(np.array(var, dtype=np.dtype(cfg.dtype)))
+    framed = cfg.tempo_energy_mode != "parseval"
     energies = []
     for ci in range(n_chunks):
         lo = ci * CH
-        seg = np.zeros(K + CH + hop, np.int16)
-        pre = samples[max(lo - K, 0) : lo]
-        seg[K - pre.shape[0] : K] = pre
-        payload = samples[lo : lo + CH + hop]
-        seg[K : K + payload.shape[0]] = payload
-        e = _pass2_chunk(
-            jnp.asarray(seg), jnp.asarray(np.int32(lo)), n_j, mean_j, var_j, cfg
-        )
+        if framed:
+            # window-reset FIR: no history, W-hop lookahead (padded to
+            # 2*hop so the chunk length stays a multiple of the frame)
+            seg = np.zeros(CH + 2 * hop, np.int16)
+            payload = samples[lo : lo + CH + 2 * hop]
+            seg[: payload.shape[0]] = payload
+            e = _pass2_chunk_framed(
+                jnp.asarray(seg), jnp.asarray(np.int32(lo)), n_j,
+                mean_j, var_j, cfg,
+            )
+        else:
+            seg = np.zeros(K + CH + hop, np.int16)
+            pre = samples[max(lo - K, 0) : lo]
+            seg[K - pre.shape[0] : K] = pre
+            payload = samples[lo : lo + CH + hop]
+            seg[K : K + payload.shape[0]] = payload
+            e = _pass2_chunk(
+                jnp.asarray(seg), jnp.asarray(np.int32(lo)), n_j,
+                mean_j, var_j, cfg,
+            )
         energies.append(np.asarray(e))
     fa = np.concatenate(energies, axis=1)[None]  # [1, NB, n_chunks*CH//hop]
 

@@ -141,9 +141,10 @@ def analyze_library(
     an 11-minute song no longer costs its own giant-shape compile; extended
     features stream too, and meshed scans route their long songs the same
     way (the mesh keeps serving the normal-length batches; a streamed song
-    runs single-device chunks). Only the parity/strict/literal-fft modes
-    keep the whole-shape path (pass ``long_song_samples=None`` to force it
-    always).
+    runs single-device chunks). Every analysis mode streams — including
+    the strict/literal-fft parity modes (their sequential accumulation
+    orders decompose over in-order chunks; features/streaming.py). Pass
+    ``long_song_samples=None`` to force the whole-shape path always.
 
     progress: optional callback (done, total, message). With
     ``extended=True`` the ROADMAP feature set (zcr, loudness, spectral

@@ -6,7 +6,7 @@ beat trains, sweeps, silence gaps), writes them as FLAC, analyzes each with
 the reference binary (baseline/build/analyze) and with bliss-tpu's float64
 parity mode, and reports the deviation distribution per feature.
 
-Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact|streaming]
+Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact|streaming|streaming_strict]
 
 "parity" (default) compares the float64 parity mode (expected deviation
 ~1e-5). "hybrid" compares the fused-kernel configuration with the host
@@ -16,7 +16,9 @@ must stay exact (tempo deviation << one 4/duration quantum) and other
 features sit within the float32 gate (5e-4). "streaming" generates LONG
 songs (2-7 minutes) and runs them through the chunked fixed-shape path
 (features/streaming.py) — the route every >~3-min song takes in
-production — under the same beat-exact gate.
+production — under the same beat-exact gate. "streaming_strict" runs
+the same long songs through the streamed STRICT-parity config (float64,
+iterative amplitude, fft_strict) — expected at the parity gate (~1e-5).
 """
 
 import sys, os
@@ -60,10 +62,11 @@ def random_song(rng, seconds, sr=22050):
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
-    if mode not in ("parity", "hybrid", "device_exact", "streaming"):
+    if mode not in ("parity", "hybrid", "device_exact", "streaming",
+                    "streaming_strict"):
         raise SystemExit(
             f"unknown mode {mode!r}: use 'parity', 'hybrid', "
-            "'device_exact', or 'streaming'"
+            "'device_exact', 'streaming', or 'streaming_strict'"
         )
     if not os.path.exists(os.path.join(BUILD, "analyze")):
         subprocess.run(
@@ -97,6 +100,8 @@ def main():
         # the config the pipeline hands to analyze_song_streaming (which
         # always finishes the envelope in host float64)
         cfg = AnalysisConfig(dtype="float32")
+    elif mode == "streaming_strict":
+        cfg = AnalysisConfig.for_parity()
     else:
         cfg = AnalysisConfig.for_parity()
     rng = np.random.RandomState(1234)
@@ -108,7 +113,8 @@ def main():
             # identical PCM -> identical features expected)
             sr = 22050 if i % 4 == 0 else [44100, 48000, 32000][(i % 4) - 1]
             seconds = (
-                int(rng.randint(120, 420)) if mode == "streaming"
+                int(rng.randint(120, 420))
+                if mode.startswith("streaming")
                 else int(rng.randint(3, 9))
             )
             frames = random_song(rng, seconds, sr=sr)
@@ -126,7 +132,7 @@ def main():
                 print(f"case {i}: reference failed to analyze"); continue
             ref = np.array([float(m.group(k)) for k in range(1, 5)])
             d = decode(path)
-            if mode == "streaming":
+            if mode.startswith("streaming"):
                 from bliss_tpu.features.streaming import analyze_song_streaming
 
                 ours = analyze_song_streaming(
@@ -142,7 +148,7 @@ def main():
                     ours = np.asarray(analyze_batch_jit(batch, cfg))[0]
             dev = np.abs(ours - ref)
             devs.append(dev)
-            gate = 1e-3 if mode == "parity" else 5e-4 * 2
+            gate = 1e-3 if mode in ("parity", "streaming_strict") else 5e-4 * 2
             beat_dev = dev[0] * d.duration / 4.0  # tempo dev in beat quanta
             divergent = (dev.max() > gate) if mode == "parity" else (
                 beat_dev > 0.01 or dev[1:].max() > gate

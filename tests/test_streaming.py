@@ -221,3 +221,92 @@ def test_pipeline_routes_long_songs(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         r_mesh.features, r_stream.features, atol=2e-3
     )
+
+
+# --- strict / parity / literal-op modes (round 3: every mode streams) ----
+
+PARITY = AnalysisConfig.for_parity()
+
+
+def test_streaming_parity_mode_matches_whole_shape(song):
+    """The float64 strict-parity config (iterative amplitude + fft_strict
+    tempo + strict frequency accumulation) streamed vs whole-shape: the
+    sequential accumulation orders decompose over in-order chunks, so the
+    agreement should be near-bitwise (the envelope finish runs as the
+    jitted f64 program whole-shape vs the host f64 finish streamed)."""
+    from bliss_tpu.features import analyze_batch_jit
+
+    samples, dur = song
+    whole = np.asarray(
+        analyze_batch_jit(PCMBatch.from_arrays([samples], [dur]), PARITY)
+    )[0]
+    streamed = analyze_song_streaming(
+        samples, dur, PARITY, chunk_samples=1 << 18
+    )
+    assert _beats(streamed[0], dur) == _beats(whole[0], dur)
+    np.testing.assert_allclose(streamed, whole, atol=2e-6, rtol=0)
+
+
+def test_streaming_parity_mode_chunk_size_invariant(song):
+    """Strict-mode streamed results must be BITWISE chunk-size invariant:
+    the histogram is exact counts, the strict frequency sum sees the same
+    frames in the same order, and fft_strict windows are chunk-local."""
+    samples, dur = song
+    a = analyze_song_streaming(samples, dur, PARITY, chunk_samples=1 << 18)
+    b = analyze_song_streaming(samples, dur, PARITY, chunk_samples=1 << 20)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        AnalysisConfig(dtype="float32", tempo_energy_mode="parseval_framed",
+                       tempo_finish="host"),
+        AnalysisConfig(dtype="float32", tempo_energy_mode="fft",
+                       spectrum_mode="fft", tempo_finish="host"),
+        AnalysisConfig(dtype="float32", amplitude_mode="iterative",
+                       tempo_finish="host"),
+    ],
+    ids=["parseval_framed", "literal_fft", "iterative_amp"],
+)
+def test_streaming_literal_modes_match_whole_shape(song, cfg):
+    # hybrid = whole-shape device stage + the same host f64 envelope
+    # finish streaming uses (the fully-jitted f32 finish may flip
+    # epsilon-marginal beats — that's its documented contract)
+    samples, dur = song
+    whole = np.asarray(
+        analyze_batch_hybrid(PCMBatch.from_arrays([samples], [dur]), cfg)
+    )[0]
+    streamed = analyze_song_streaming(samples, dur, cfg, chunk_samples=1 << 18)
+    assert _beats(streamed[0], dur) == _beats(whole[0], dur)
+    assert abs(streamed[1] - whole[1]) < 1e-3
+    assert abs(streamed[2] - whole[2]) < 1e-3
+    assert abs(streamed[3] - whole[3]) < 1e-3
+
+
+def test_pipeline_routes_long_songs_in_parity_mode(tmp_path):
+    """Since every mode streams, a strict-parity library scan also routes
+    long songs through the chunked path — and matches the whole-shape
+    parity scan beat-exactly."""
+    from bliss_tpu.io.flac_writer import write_flac
+    from bliss_tpu.pipeline import analyze_library
+
+    rng = np.random.RandomState(7)
+    pcm = np.asarray(synth_pcm(rng, 12 * 44100))
+    frames = np.stack([pcm[0::2], pcm[1::2]], axis=1)
+    p = str(tmp_path / "long.flac")
+    write_flac(p, frames, 22050)
+
+    r_stream = analyze_library(
+        [p], cfg=PARITY, batch_size=1, long_song_samples=1 << 18
+    )
+    assert r_stream.ok.all() and "streaming" in r_stream.stats
+    r_whole = analyze_library(
+        [p], cfg=PARITY, batch_size=1, long_song_samples=None
+    )
+    assert _beats(r_stream.features[0, 0], 12) == _beats(
+        r_whole.features[0, 0], 12
+    )
+    np.testing.assert_allclose(
+        r_stream.features, r_whole.features, atol=2e-6, rtol=0
+    )
