@@ -229,6 +229,17 @@ def _pass1_chunk(
     return out
 
 
+def _normalized_seg(s, valid, mean, var, dtype):
+    """(s/2^15 - mean/2^15) / (var/2^30), zeroed outside the song — the
+    whole-shape _normalize_signal's scaling, shared by both pass-2
+    kernels."""
+    inv = jnp.asarray(1.0 / (1 << 15), dtype)
+    mean_d = mean.astype(dtype) * inv
+    var_d = var.astype(dtype) * inv * inv
+    norm = (s.astype(dtype) * inv - mean_d) / var_d
+    return jnp.where(valid, norm, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _pass2_chunk(
     seg: jnp.ndarray,
@@ -251,12 +262,7 @@ def _pass2_chunk(
     s = seg.astype(jnp.int32)
     gidx = (base - K) + jnp.arange(seg.shape[0], dtype=jnp.int32)
     valid = (gidx >= 0) & (gidx < n)
-
-    inv = jnp.asarray(1.0 / (1 << 15), dtype)
-    mean_d = mean.astype(dtype) * inv
-    var_d = var.astype(dtype) * inv * inv
-    norm = (s.astype(dtype) * inv - mean_d) / var_d
-    norm = jnp.where(valid, norm, 0.0)  # [K + CH + hop]
+    norm = _normalized_seg(s, valid, mean, var, dtype)  # [K + CH + hop]
 
     fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps, cfg.filterbank)
     NB = fb.shape[0]
@@ -327,12 +333,7 @@ def _pass2_chunk_framed(
     s = seg.astype(jnp.int32)
     gidx = base + jnp.arange(seg.shape[0], dtype=jnp.int32)
     valid = gidx < n
-
-    inv = jnp.asarray(1.0 / (1 << 15), dtype)
-    mean_d = mean.astype(dtype) * inv
-    var_d = var.astype(dtype) * inv * inv
-    norm = (s.astype(dtype) * inv - mean_d) / var_d
-    norm = jnp.where(valid, norm, 0.0)  # [CH + 2*hop]
+    norm = _normalized_seg(s, valid, mean, var, dtype)  # [CH + 2*hop]
 
     frames = frame_signal(norm[None], W, hop)[0][: CH // hop]  # [nw, W]
     fb = tables.bandpass_filterbank(cfg.nb_bands, cfg.band_taps, cfg.filterbank)
@@ -385,7 +386,9 @@ def analyze_song_streaming(
     flat_num = 0.0
     mfcc_sum = np.zeros(13, np.float64)
     mfcc_sq = np.zeros(13, np.float64)
-    amp_hist = np.zeros(0, np.int64)  # iterative mode: exact bin counts
+    from bliss_tpu.features.amplitude import _CROP_W
+
+    amp_hist = np.zeros(_CROP_W, np.int64)  # iterative mode: exact counts
     freq_acc = jnp.zeros(C.WINDOW_SIZE // 2 + 1, jnp.float32)  # strict carry
     for ci in range(n_chunks):
         lo = ci * CH
@@ -405,8 +408,7 @@ def analyze_song_streaming(
             np.asarray(out["sub_hi"]).astype(np.int64).sum()
         ) * 65536 + int(np.asarray(out["sub_lo"]).astype(np.int64).sum())
         if "amp_hist" in out:
-            h = np.asarray(out["amp_hist"]).astype(np.int64)
-            amp_hist = h if amp_hist.size == 0 else amp_hist + h
+            amp_hist += np.asarray(out["amp_hist"]).astype(np.int64)
         else:
             amp_dot += float(out["amp_dot"])
         if "freq_acc" in out:
@@ -443,9 +445,7 @@ def analyze_song_streaming(
     trimmed = first + (n - 1 - last)
     span = max(last - first, 1)
     if cfg.amplitude_mode == "iterative":
-        from bliss_tpu.features.amplitude import integral_from_hist
-
-        from bliss_tpu.features.amplitude import _CROP_LO
+        from bliss_tpu.features.amplitude import _CROP_LO, integral_from_hist
 
         zero_bin = (1 << 15) - _CROP_LO  # sample value 0's histogram bin
         amp_hist[zero_bin] -= trimmed
