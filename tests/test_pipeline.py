@@ -54,6 +54,7 @@ def test_analyze_library_store_resume(fixture_dir, tmp_path):
     r2 = analyze_library(files, cfg=CFG, batch_size=2, store=store2)
     assert r2.ok.all()
     assert r2.stats.get("device_dispatch", {"count": 0})["count"] == 0
+    assert r2.stats.get("decoded", 0) == 0  # bench's warm-rescan invariant
     np.testing.assert_allclose(r1.features, r2.features, atol=0)
 
     # A renamed copy keeps its cached features (content fingerprinting).
