@@ -444,9 +444,20 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("store", help="store directory")
     st.set_defaults(fn=cmd_store)
 
+    gu = sub.add_parser(
+        "gui", help="tkinter library scanner (the reference's GTK GUI)"
+    )
+    gu.set_defaults(fn=cmd_gui)
+
     v = sub.add_parser("version", help="print versions")
     v.set_defaults(fn=cmd_version)
     return p
+
+
+def cmd_gui(args) -> int:
+    from bliss_tpu.gui import main as gui_main
+
+    return gui_main()
 
 
 def main(argv=None) -> int:

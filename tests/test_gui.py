@@ -1,4 +1,4 @@
-"""Headless tests for the GUI scanner's core (examples/analyze_gui.py).
+"""Headless tests for the GUI scanner's core (bliss_tpu/gui.py).
 
 The reference's GTK scanner (reference: python/examples/analyze_gui.py)
 has no test at all; here the scan logic is a display-free ScanJob, so the
@@ -14,15 +14,23 @@ import sys
 
 import pytest
 
-_GUI_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "examples",
-    "analyze_gui.py",
-)
-_spec = importlib.util.spec_from_file_location("analyze_gui", _GUI_PATH)
-analyze_gui = importlib.util.module_from_spec(_spec)
-sys.modules["analyze_gui"] = analyze_gui
-_spec.loader.exec_module(analyze_gui)
+from bliss_tpu import gui as analyze_gui
+
+
+def test_example_wrapper_reexports():
+    """examples/analyze_gui.py (the reference-parity entry point) exposes
+    the packaged implementation."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "analyze_gui.py",
+    )
+    spec = importlib.util.spec_from_file_location("analyze_gui_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["analyze_gui_example"] = mod
+    spec.loader.exec_module(mod)
+    assert mod.ScanJob is analyze_gui.ScanJob
+    assert mod.discover_audio_files is analyze_gui.discover_audio_files
 
 
 @pytest.fixture(scope="module")
