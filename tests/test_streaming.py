@@ -310,3 +310,19 @@ def test_pipeline_routes_long_songs_in_parity_mode(tmp_path):
     np.testing.assert_allclose(
         r_stream.features, r_whole.features, atol=2e-6, rtol=0
     )
+
+
+def test_streaming_multiband_matches_whole_shape(song):
+    """The 5-band Klapuri front-end streams too: chunk-local FIR bands +
+    the multi-band envelope finish on the assembled energies."""
+    cfg = AnalysisConfig(
+        dtype="float32", amplitude_mode="poly", tempo_finish="host",
+        filterbank="reference5",
+    )
+    samples, dur = song
+    whole = np.asarray(
+        analyze_batch_hybrid(PCMBatch.from_arrays([samples], [dur]), cfg)
+    )[0]
+    streamed = analyze_song_streaming(samples, dur, cfg, chunk_samples=1 << 18)
+    assert _beats(streamed[0], dur) == _beats(whole[0], dur)
+    np.testing.assert_allclose(streamed, whole, atol=2e-3)
