@@ -7,6 +7,7 @@ binaries) link and run against bliss_tpu/compat/libbliss.so unchanged.
 """
 
 import os
+import re
 import shutil
 import subprocess
 
@@ -90,3 +91,48 @@ def test_reference_example_analyze_runs(ref_test_env):
     assert r.returncode == 0
     assert "Force vector: (-8.945" in r.stdout
     assert "Artist: David TMX" in r.stdout
+
+
+def test_reference_example_distance_runs(ref_test_env):
+    """The reference's distance.c example (bl_distance_file +
+    bl_cosine_similarity on two decoded songs) against libbliss.so."""
+    binary = str(ref_test_env / "distance")
+    _compile_ref_test(os.path.join(REF, "examples", "distance.c"), binary)
+    r = subprocess.run(
+        [
+            binary,
+            os.path.join(REF, "audio", "song.flac"),
+            os.path.join(REF, "audio", "song_s32.flac"),
+        ],
+        cwd=ref_test_env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    # the two fixtures are the same track at different bit depths; their
+    # golden force vectors differ almost only in tempo (-8.945 vs -8.218,
+    # reference tests/test_analyze.c) -> distance ~= 0.728
+    m = re.search(r"Distance between .* is: ([\d.]+)", r.stdout)
+    assert m and abs(float(m.group(1)) - 0.7286) < 0.01, r.stdout
+    m = re.search(r"Similarity between .* is: ([\d.]+)", r.stdout)
+    assert m and float(m.group(1)) > 0.999, r.stdout
+
+
+def test_reference_example_detect_gapless_runs(ref_test_env):
+    """The reference's detect-gapless.c (standalone bl_audio_decode +
+    direct sample_array reads) against libbliss.so."""
+    binary = str(ref_test_env / "detect-gapless")
+    _compile_ref_test(
+        os.path.join(REF, "examples", "detect-gapless.c"), binary
+    )
+    f = os.path.join(REF, "audio", "song.flac")
+    r = subprocess.run(
+        [binary, f, f],
+        cwd=ref_test_env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "Song 1" in r.stdout and "Song 2" in r.stdout
