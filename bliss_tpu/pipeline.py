@@ -275,6 +275,8 @@ def analyze_library(
                         "title": d.title,
                         "artist": d.artist,
                         "album": d.album,
+                        "genre": d.genre,
+                        "tracknumber": d.tracknumber,
                     },
                 )
         if store is not None:
