@@ -9,7 +9,9 @@ Supersedes the reference's example programs (SURVEY.md §2):
   scan           — batch-analyze a library to CSV with resume + progress
                    (reference: python/examples/analyze_gui.py, sans GTK)
   radio          — k-means auto-playlists over the library (new capability)
-  store          — feature-store stats / compaction (new capability)
+  store          — feature-store stats / compact / export / prune
+                   (new capability)
+  gui            — tkinter library scanner (reference: python/examples/analyze_gui.py)
   version        — framework + native decoder versions
 
 Run: python -m bliss_tpu.cli <command> ...
@@ -355,6 +357,58 @@ def cmd_store(args) -> int:
         )
         print(f"compacted {before} shard(s) -> {after}")
         return 0
+    if args.action == "export":
+        # warm-store CSV: everything a `scan` run writes, straight from the
+        # store with zero decode/analysis, plus the metadata tags
+        from bliss_tpu.features import EXTENDED_FEATURE_NAMES
+
+        rows = sorted(store.items(), key=lambda kv: kv[0])
+        has_ext = any(v.shape[0] > 4 for _, v in rows)
+        tag_cols = ("title", "artist", "album", "genre", "tracknumber")
+        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        try:
+            header = (
+                "filename;" + ";".join(tag_cols)
+                + ";tempo;amplitude;frequency;attack;force"
+            )
+            if has_ext:
+                header += ";" + ";".join(EXTENDED_FEATURE_NAMES)
+            out.write(header + "\n")
+            for key, v in rows:
+                meta = store.metadata(key)
+                t, a, fr, k = (float(x) for x in v[:4])
+                force = max(t, 0.0) + a + fr + max(k, 0.0)
+                line = (
+                    str(meta.get("filename", key)) + ";"
+                    + ";".join(str(meta.get(c, "")) for c in tag_cols)
+                    + f";{t:f};{a:f};{fr:f};{k:f};{force:f}"
+                )
+                if has_ext:
+                    ext = [f"{float(x):f}" for x in v[4:]]
+                    ext += [""] * (len(EXTENDED_FEATURE_NAMES) - len(ext))
+                    line += ";" + ";".join(ext)
+                out.write(line + "\n")
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        if args.output != "-":
+            print(f"exported {len(rows)} entries -> {args.output}")
+        return 0
+    if args.action == "prune":
+        # drop entries whose source file no longer exists on disk; entries
+        # with no recorded filename (pre-metadata stores) are kept
+        gone = [
+            key
+            for key, _ in list(store.items())
+            if store.metadata(key).get("filename")
+            and not os.path.exists(store.metadata(key)["filename"])
+        ]
+        for key in gone:
+            store.remove(key)
+        if gone:
+            store.compact()
+        print(f"pruned {len(gone)} entries ({len(store)} remain)")
+        return 0
     print(f"unknown store action {args.action}", file=sys.stderr)
     return 2
 
@@ -440,7 +494,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.set_defaults(fn=cmd_radio)
 
     st = sub.add_parser("store", help="feature-store maintenance")
-    st.add_argument("action", choices=["stats", "compact"])
+    st.add_argument(
+        "--output", "-o", default="-",
+        help="export: CSV path ('-' = stdout)",
+    )
+    st.add_argument(
+        "action", choices=["stats", "compact", "export", "prune"]
+    )
     st.add_argument("store", help="store directory")
     st.set_defaults(fn=cmd_store)
 

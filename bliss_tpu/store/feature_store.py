@@ -179,8 +179,8 @@ class FeatureStore:
         with --extended into an existing store — so each width compacts to
         its own shard; np.stack over mixed shapes would crash.)"""
         with self._lock:
-            if not self._features:
-                return
+            if not self._features and not self._shards and not self._meta:
+                return  # nothing live and nothing on disk to clean up
             by_width: dict[int, list[str]] = {}
             for k in sorted(self._features):
                 by_width.setdefault(self._features[k].shape[0], []).append(k)
@@ -216,6 +216,19 @@ class FeatureStore:
                     os.remove(os.path.join(self.path, stale))
                 except OSError:
                     pass
+
+    def remove(self, key: str) -> bool:
+        """Drop an entry from the in-memory map. Returns whether it existed.
+        The on-disk logs still hold the old rows until the next ``compact()``
+        (which rewrites only live entries) — callers pruning many entries
+        should compact once afterwards."""
+        with self._lock:
+            found = key in self._features
+            self._features.pop(key, None)
+            self._meta.pop(key, None)
+            self._dirty.discard(key)
+            self._dirty_meta.discard(key)
+            return found
 
     def items(self):
         return self._features.items()

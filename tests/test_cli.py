@@ -201,6 +201,49 @@ def test_cli_store_stats_and_compact(fixture_dir, tmp_path, capsys):
     assert len(FeatureStore(store_dir)) == 2
 
 
+def test_cli_store_export_and_prune(fixture_dir, tmp_path, capsys):
+    """`store export` serves the scan CSV (plus tags) from a warm store with
+    zero re-analysis; `store prune` drops entries whose files vanished."""
+    from bliss_tpu.cli import main
+    from bliss_tpu.pipeline import analyze_library
+    from bliss_tpu.store import FeatureStore
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    for name in ("song.flac", "song_s32.flac"):
+        (lib / name).write_bytes(
+            open(os.path.join(fixture_dir, name), "rb").read()
+        )
+    store_dir = str(tmp_path / "store")
+    files = [str(lib / "song.flac"), str(lib / "song_s32.flac")]
+    analyze_library(files, batch_size=2, store=FeatureStore(store_dir))
+
+    out_csv = str(tmp_path / "warm.csv")
+    assert main(["store", "export", store_dir, "-o", out_csv]) == 0
+    lines = open(out_csv).read().splitlines()
+    assert lines[0].startswith(
+        "filename;title;artist;album;genre;tracknumber;tempo"
+    )
+    assert len(lines) == 3
+    row = {ln.split(";")[0]: ln.split(";") for ln in lines[1:]}
+    r = row[str(lib / "song.flac")]
+    assert r[1:6] == ["Renaissance", "David TMX", "Renaissance", "Pop", "02"]
+    # golden values straight from the store (reference tests/test_analyze.c)
+    assert abs(float(r[6]) - (-8.945454)) < 1e-3   # tempo
+    assert abs(float(r[10]) - (-20.777929)) < 1e-3  # force
+
+    # prune: nothing missing -> no-op; delete one file -> one entry pruned
+    assert main(["store", "prune", store_dir]) == 0
+    assert "pruned 0" in capsys.readouterr().out
+    os.remove(str(lib / "song_s32.flac"))
+    assert main(["store", "prune", store_dir]) == 0
+    assert "pruned 1" in capsys.readouterr().out
+    reloaded = FeatureStore(store_dir)
+    assert len(reloaded) == 1
+    metas = [reloaded.metadata(k) for k, _ in reloaded.items()]
+    assert metas[0]["filename"] == str(lib / "song.flac")
+
+
 def test_cli_scan_with_mesh(fixture_dir, tmp_path):
     """--mesh shards the scan over the virtual device mesh."""
     from bliss_tpu.cli import main

@@ -134,3 +134,39 @@ def test_same_millisecond_flushes_do_not_collide(tmp_path, monkeypatch):
 
     s2 = FeatureStore(str(tmp_path))
     assert s2.get("a") is not None and s2.get("b") is not None
+
+
+def test_remove_and_empty_compact(tmp_path):
+    """remove() drops entries; compact() after remove persists the removal,
+    including the prune-to-empty case (no stale shards left behind)."""
+    s = FeatureStore(str(tmp_path))
+    _fill(s, 0, 8)
+    s.flush()
+
+    assert s.remove("key00000003") is True
+    assert s.remove("key00000003") is False  # already gone
+    assert "key00000003" not in s
+    s.compact()
+    s2 = FeatureStore(str(tmp_path))
+    assert len(s2) == 7
+    assert s2.get("key00000003") is None
+    assert s2.metadata("key00000003") == {}
+    assert s2.get("key00000004") is not None
+
+    for k, _ in list(s2.items()):
+        s2.remove(k)
+    s2.compact()
+    assert len(FeatureStore(str(tmp_path))) == 0
+    assert not [f for f in os.listdir(str(tmp_path)) if f.endswith(".npz")]
+
+
+def test_remove_dirty_entry_never_flushed(tmp_path):
+    """Removing a not-yet-flushed entry must also clear its dirty marks so
+    flush() doesn't KeyError or resurrect it."""
+    s = FeatureStore(str(tmp_path))
+    _fill(s, 0, 4)
+    s.remove("key00000002")
+    s.flush()
+    s2 = FeatureStore(str(tmp_path))
+    assert len(s2) == 3
+    assert s2.get("key00000002") is None
