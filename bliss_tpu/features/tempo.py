@@ -523,8 +523,11 @@ def envelope_finish_host(
     peaks = (d_prev > C.PEAK_EPSILON) & (d_next > C.PEAK_EPSILON) & inrange
     beat = np.sum(peaks, axis=1)
 
-    tempo = C.TEMPO_SCALE * beat / dur + C.TEMPO_BIAS
-    attack = C.ATTACK_SCALE * atk_sum / n + C.ATTACK_BIAS
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # dur <= 0 yields inf/nan tempo — the reference's own pinned
+        # behavior (beat/duration with no guard); not a numeric error.
+        tempo = C.TEMPO_SCALE * beat / dur + C.TEMPO_BIAS
+        attack = C.ATTACK_SCALE * atk_sum / n + C.ATTACK_BIAS
     if return_aux:
         return (
             tempo.astype(np.float32),

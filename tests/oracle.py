@@ -129,7 +129,12 @@ def frequency_oracle(samples: np.ndarray, channels: int = 2) -> float:
     p[1:] = np.sqrt(ps[1:] / WINDOW_SIZE)
     p = p.astype(np.float32)
     peak = np.float32(np.max(p[1:]))
-    db = (20.0 * np.log10(p.astype(np.float64) / peak) - 3.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        # zero bins legitimately give -inf dB (the C code hits the same
+        # log10(0) and relies on IEEE semantics downstream)
+        db = (
+            20.0 * np.log10(p.astype(np.float64) / peak) - 3.0
+        ).astype(np.float32)
 
     b0 = np.float32((db[2] + db[4]) / 2.0)
     b1 = np.float32((db[6] + db[8]) / 2.0)

@@ -53,7 +53,11 @@ def test_pod_mesh_runs_a_collective():
     """The pod mesh must be usable by the same shard_map programs the
     single-host path uses."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    try:  # jax >= 0.8 exports shard_map at the top level
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     mesh = dist.pod_mesh()
     n = mesh.devices.size
