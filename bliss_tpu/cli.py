@@ -509,6 +509,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gu.set_defaults(fn=cmd_gui)
 
+    sv = sub.add_parser(
+        "serve",
+        help="persistent analysis daemon (JSON-lines over a socket)",
+    )
+    sv.add_argument("--socket", help="Unix socket path to listen on")
+    sv.add_argument(
+        "--port", type=int,
+        help="loopback TCP port instead of a Unix socket (0 = ephemeral)",
+    )
+    sv.add_argument("--store", help="feature-store directory (cache)")
+    sv.add_argument("--batch-size", type=int, default=64)
+    sv.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip the startup compile of the analysis program",
+    )
+    _add_mesh_opt(sv)
+    _add_band_opts(sv)
+    sv.set_defaults(fn=cmd_serve)
+
     v = sub.add_parser("version", help="print versions")
     v.set_defaults(fn=cmd_version)
     return p
@@ -518,6 +537,32 @@ def cmd_gui(args) -> int:
     from bliss_tpu.gui import main as gui_main
 
     return gui_main()
+
+
+def cmd_serve(args) -> int:
+    from bliss_tpu.server import AnalysisServer
+    from bliss_tpu.store import FeatureStore
+
+    if (args.socket is None) == (args.port is None):
+        raise SystemExit("serve: pass exactly one of --socket / --port")
+    server = AnalysisServer(
+        args.socket,
+        port=args.port,
+        cfg=_band_config(args),
+        store=FeatureStore(args.store) if args.store else None,
+        batch_size=args.batch_size,
+        mesh=_parse_mesh(args.mesh),
+    )
+    if not args.no_warmup:
+        print("warming up (compiling the analysis program)...", file=sys.stderr)
+        server.warmup()
+    where = args.socket or f"127.0.0.1:{args.port}"
+    print(f"serving on {where} (Ctrl-C to stop)", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
 
 
 def main(argv=None) -> int:

@@ -1,0 +1,396 @@
+"""Persistent analysis daemon: JSON-lines over a Unix socket or TCP.
+
+The reference is strictly one-shot: every ``bl_analyze`` consumer pays
+process start and library init per invocation (reference: src/analyze.c:33,
+examples/analyze.c:17-46 — there is no serving layer at all). A production
+deployment wants a resident process instead: XLA-compiled programs stay
+warm in the in-process jit cache (first compile of the fused TPU program
+costs seconds-to-minutes; a warm dispatch is milliseconds), the
+FeatureStore index stays in memory, and repeat queries for already-scanned
+content return without touching the device. This module is that layer.
+
+Protocol: newline-delimited JSON, one object per line in each direction.
+
+    Request:  {"op": <str>, "id": <any, optional>, ...params}
+    Response: {"ok": true,  "id": ...,  ...result}
+            | {"ok": false, "id": ..., "error": <str>}
+
+Ops:
+    ping                                      -> {"pong": true}
+    status                                    -> version/backend/config/
+                                                 store/counter snapshot
+    analyze  {"paths": [p...], "extended"?}   -> {"features": {p: [t,a,f,k]},
+                                                  "extended": {p: [...]}?,
+                                                  "errors": {p: msg}}
+    distance {"a": p|vec, "b": p|vec}         -> {"distance": float,
+                                                  "similarity": float}
+    playlist {"seed": p, "paths": [p...],
+              "length"?}                      -> {"paths": [ordered...]}
+    shutdown                                  -> {"stopping": true} and the
+                                                 server exits its loop
+
+``a``/``b`` accept either an audio path (analyzed, store-cached) or a
+ready 4-element force vector. All analysis rides the same
+``pipeline.analyze_library`` as the CLI — store caching, long-song
+streaming, per-song failure isolation and mesh sharding all apply
+unchanged. Concurrent client connections are accepted; analysis requests
+are serialized on one lock (a single device queue beats interleaved
+dispatch on one chip).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import time
+from typing import Any
+
+import numpy as np
+
+from bliss_tpu.config import AnalysisConfig
+from bliss_tpu.store import FeatureStore
+from bliss_tpu.utils import get_logger, log_event
+
+logger = get_logger("bliss_tpu.server")
+
+_MAX_LINE = 32 << 20  # defensive cap on one request line (32 MB)
+
+
+class AnalysisServer:
+    """Resident analysis service over a Unix socket or loopback TCP.
+
+    Exactly one of ``socket_path`` / ``port`` selects the transport.
+    """
+
+    def __init__(
+        self,
+        socket_path: str | None = None,
+        *,
+        port: int | None = None,
+        host: str = "127.0.0.1",
+        cfg: AnalysisConfig | None = None,
+        store: FeatureStore | None = None,
+        batch_size: int = 64,
+        mesh=None,
+    ):
+        if (socket_path is None) == (port is None):
+            raise ValueError("pass exactly one of socket_path / port")
+        if cfg is None:
+            from bliss_tpu.api import default_config
+
+            cfg = default_config()
+        self.socket_path = socket_path
+        self.host, self.port = host, port
+        self.cfg = cfg
+        self.store = store
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self._analysis_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._listener: socket.socket | None = None
+        self._t0 = time.time()
+        self._counters = {"requests": 0, "songs_analyzed": 0, "errors": 0}
+        self._ready = threading.Event()
+
+    # --- transport ----------------------------------------------------------
+
+    def _bind(self) -> socket.socket:
+        if self.socket_path is not None:
+            if not hasattr(socket, "AF_UNIX"):  # pragma: no cover
+                raise RuntimeError(
+                    "AF_UNIX unavailable on this platform; use port="
+                )
+            # stale socket file from a dead server: safe to replace
+            try:
+                os.unlink(self.socket_path)
+            except FileNotFoundError:
+                pass
+            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            s.bind(self.socket_path)
+        else:
+            s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            s.bind((self.host, self.port))
+            self.port = s.getsockname()[1]  # resolve port=0
+        s.listen(8)
+        s.settimeout(0.25)  # so the accept loop notices _stop
+        return s
+
+    def warmup(self, seconds: float = 2.0) -> None:
+        """Compile the analysis program before accepting traffic by
+        analyzing a synthetic clip (written to a temp dir)."""
+        import tempfile
+
+        from bliss_tpu.io.flac_writer import write_flac
+        from bliss_tpu.pipeline import analyze_library
+
+        n = int(22050 * seconds)
+        t = np.arange(n)
+        pcm = (
+            4000.0
+            * np.sin(2 * np.pi * 440.0 * t / 22050.0)
+            * (((t * 2.0 / 22050.0) % 1.0) < 0.5)
+        ).astype(np.int16)
+        with tempfile.TemporaryDirectory() as tmp:
+            p = os.path.join(tmp, "warmup.flac")
+            write_flac(p, np.stack([pcm, pcm], axis=1), 22050)
+            analyze_library(
+                [p], cfg=self.cfg, batch_size=self.batch_size,
+                mesh=self.mesh, handle_sigint=False,
+            )
+        log_event(logger, "warmup done", seconds=round(time.time() - self._t0, 2))
+
+    def serve_forever(self) -> None:
+        """Accept connections until a ``shutdown`` op or ``stop()``."""
+        self._listener = self._bind()
+        self._ready.set()
+        where = self.socket_path or f"{self.host}:{self.port}"
+        log_event(logger, "serving", at=where)
+        try:
+            while not self._stop.is_set():
+                try:
+                    conn, _ = self._listener.accept()
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+                t = threading.Thread(
+                    target=self._serve_connection, args=(conn,), daemon=True
+                )
+                t.start()
+        finally:
+            self._listener.close()
+            if self.socket_path is not None:
+                try:
+                    os.unlink(self.socket_path)
+                except FileNotFoundError:
+                    pass
+            if self.store is not None:
+                self.store.flush()
+            log_event(logger, "server stopped", **self._counters)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def wait_ready(self, timeout: float = 60.0) -> bool:
+        """Block until the listener is bound (for tests / supervisors)."""
+        return self._ready.wait(timeout)
+
+    def _serve_connection(self, conn: socket.socket) -> None:
+        with conn:
+            buf = b""
+            while not self._stop.is_set():
+                try:
+                    chunk = conn.recv(1 << 16)
+                except OSError:
+                    return
+                if not chunk:
+                    return
+                buf += chunk
+                if len(buf) > _MAX_LINE:
+                    self._send(conn, {"ok": False, "error": "request too large"})
+                    return
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if not line.strip():
+                        continue
+                    resp = self._handle_line(line)
+                    if not self._send(conn, resp):
+                        return
+                    if self._stop.is_set():
+                        return
+
+    @staticmethod
+    def _send(conn: socket.socket, obj: dict) -> bool:
+        try:
+            conn.sendall(json.dumps(obj).encode() + b"\n")
+            return True
+        except OSError:
+            return False
+
+    # --- request handling ---------------------------------------------------
+
+    def _handle_line(self, line: bytes) -> dict:
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as e:
+            self._counters["errors"] += 1
+            return {"ok": False, "error": f"bad request: {e}"}
+        rid = req.get("id")
+        self._counters["requests"] += 1
+        try:
+            out = self._dispatch(req)
+            out["ok"] = True
+        except Exception as e:  # per-request isolation: server survives
+            self._counters["errors"] += 1
+            log_event(logger, "request failed", op=req.get("op"), error=str(e))
+            out = {"ok": False, "error": str(e)}
+        if rid is not None:
+            out["id"] = rid
+        return out
+
+    def _dispatch(self, req: dict) -> dict:
+        op = req.get("op")
+        if op == "ping":
+            return {"pong": True}
+        if op == "status":
+            return self._status()
+        if op == "analyze":
+            return self._analyze_op(req)
+        if op in ("distance", "cosine"):
+            return self._distance_op(req)
+        if op == "playlist":
+            return self._playlist_op(req)
+        if op == "shutdown":
+            self._stop.set()
+            return {"stopping": True}
+        raise ValueError(f"unknown op {op!r}")
+
+    def _status(self) -> dict:
+        import jax
+
+        from bliss_tpu import __version__
+
+        return {
+            "version": __version__,
+            "backend": jax.default_backend(),
+            "devices": jax.device_count(),
+            "config": {
+                "dtype": self.cfg.dtype,
+                "tempo_finish": self.cfg.tempo_finish,
+                "fused_kernel": self.cfg.fused_kernel,
+                "nb_bands": self.cfg.nb_bands,
+            },
+            "store": None if self.store is None else {
+                "path": self.store.path,
+                "entries": len(self.store),
+            },
+            "uptime_s": round(time.time() - self._t0, 1),
+            **self._counters,
+        }
+
+    def _analyze_paths(self, paths: list[str], extended: bool = False):
+        from bliss_tpu.pipeline import analyze_library
+
+        for p in paths:
+            if not isinstance(p, str):
+                raise ValueError("paths must be strings")
+        with self._analysis_lock:
+            result = analyze_library(
+                paths,
+                cfg=self.cfg,
+                batch_size=self.batch_size,
+                store=self.store,
+                mesh=self.mesh,
+                extended=extended,
+                handle_sigint=False,
+            )
+        self._counters["songs_analyzed"] += int(result.ok.sum())
+        return result
+
+    def _analyze_op(self, req: dict) -> dict:
+        paths = req.get("paths")
+        if not isinstance(paths, list) or not paths:
+            raise ValueError("analyze needs a non-empty 'paths' list")
+        extended = bool(req.get("extended", False))
+        result = self._analyze_paths(paths, extended=extended)
+        out: dict[str, Any] = {
+            "features": {
+                p: [float(x) for x in result.features[i]]
+                for i, p in enumerate(paths)
+                if result.ok[i]
+            },
+            "errors": result.errors,
+        }
+        if extended:
+            from bliss_tpu.features import EXTENDED_FEATURE_NAMES
+
+            out["extended_names"] = list(EXTENDED_FEATURE_NAMES)
+            out["extended"] = {
+                p: [float(x) for x in result.extended[i]]
+                for i, p in enumerate(paths)
+                if result.ok[i]
+            }
+        return out
+
+    def _vector(self, spec) -> np.ndarray:
+        """An audio path (analyze, store-cached) or a literal 4-vector."""
+        if isinstance(spec, str):
+            result = self._analyze_paths([spec])
+            if not result.ok[0]:
+                raise ValueError(
+                    f"analysis failed for {spec}: "
+                    f"{result.errors.get(spec, 'unknown error')}"
+                )
+            return result.features[0]
+        v = np.asarray(spec, np.float32)
+        if v.shape != (4,):
+            raise ValueError("vector operands must have exactly 4 elements")
+        return v
+
+    def _distance_op(self, req: dict) -> dict:
+        from bliss_tpu.sim import cosine_similarity, distance
+
+        va, vb = self._vector(req.get("a")), self._vector(req.get("b"))
+        return {
+            "distance": float(distance(va, vb)),
+            "similarity": float(cosine_similarity(va, vb)),
+        }
+
+    def _playlist_op(self, req: dict) -> dict:
+        from bliss_tpu.sim import playlist_order
+
+        seed = req.get("seed")
+        paths = list(req.get("paths") or [])
+        if not isinstance(seed, str):
+            raise ValueError("playlist needs a 'seed' path")
+        if seed not in paths:
+            paths = [seed] + paths
+        result = self._analyze_paths(paths)
+        valid = [i for i in range(len(paths)) if result.ok[i]]
+        if paths.index(seed) not in valid:
+            raise ValueError(
+                f"seed analysis failed: {result.errors.get(seed, 'unknown')}"
+            )
+        order = np.asarray(
+            playlist_order(result.features[valid], valid.index(paths.index(seed)))
+        )
+        length = req.get("length") or len(order)
+        return {
+            "paths": [paths[valid[i]] for i in order[:length]],
+            "errors": result.errors,
+        }
+
+
+def request(
+    obj: dict,
+    socket_path: str | None = None,
+    *,
+    port: int | None = None,
+    host: str = "127.0.0.1",
+    timeout: float = 600.0,
+) -> dict:
+    """One-shot client: send one request object, return the response."""
+    if (socket_path is None) == (port is None):
+        raise ValueError("pass exactly one of socket_path / port")
+    if socket_path is not None:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        addr: Any = socket_path
+    else:
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        addr = (host, port)
+    with s:
+        s.settimeout(timeout)
+        s.connect(addr)
+        s.sendall(json.dumps(obj).encode() + b"\n")
+        buf = b""
+        while b"\n" not in buf:
+            chunk = s.recv(1 << 16)
+            if not chunk:
+                raise ConnectionError("server closed before replying")
+            buf += chunk
+    return json.loads(buf.split(b"\n", 1)[0])

@@ -1,0 +1,192 @@
+"""Serving daemon tests: protocol, caching, isolation, lifecycle.
+
+The server is the production analog of the reference's one-shot CLI
+consumers (reference: examples/analyze.c, src/analyze.c:33) — a resident
+process with warm compiled programs and a warm FeatureStore. Everything
+runs headless on CPU over a tmp Unix socket / loopback TCP.
+"""
+
+import json
+import os
+import socket
+import threading
+import wave
+
+import numpy as np
+import pytest
+
+from bliss_tpu.server import AnalysisServer, request
+from bliss_tpu.store import FeatureStore
+
+
+def _write_wav(path, seconds=1.0, freq=440.0, beat_hz=2.0, amp=6000.0):
+    n = int(22050 * seconds)
+    t = np.arange(n)
+    sig = amp * np.sin(2 * np.pi * freq * t / 22050.0)
+    sig *= 0.4 + 0.6 * (((t * beat_hz / 22050.0) % 1.0) < 0.4)
+    pcm = np.clip(sig, -32767, 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(np.stack([pcm, pcm], axis=1).tobytes())
+    return str(path)
+
+
+@pytest.fixture
+def served(tmp_path):
+    """A running server on a tmp Unix socket with an attached store."""
+    sock = str(tmp_path / "bliss.sock")
+    store = FeatureStore(str(tmp_path / "store"))
+    server = AnalysisServer(sock, store=store, batch_size=8)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    assert server.wait_ready(30)
+    yield server, sock, store, tmp_path
+    server.stop()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_ping_status_and_id_passthrough(served):
+    server, sock, store, _ = served
+    assert request({"op": "ping", "id": 7}, sock) == {
+        "ok": True, "pong": True, "id": 7,
+    }
+    st = request({"op": "status"}, sock)
+    assert st["ok"] and st["backend"] == "cpu"
+    assert st["store"]["entries"] == 0
+    assert st["requests"] >= 1
+
+
+def test_analyze_caches_in_store(served):
+    server, sock, store, tmp = served
+    a = _write_wav(tmp / "a.wav", freq=300.0)
+    b = _write_wav(tmp / "b.wav", freq=1200.0, beat_hz=3.0)
+    r1 = request({"op": "analyze", "paths": [a, b]}, sock)
+    assert r1["ok"] and r1["errors"] == {}
+    assert set(r1["features"]) == {a, b}
+    assert all(len(v) == 4 and np.isfinite(v).all()
+               for v in r1["features"].values())
+    assert len(store) == 2  # cached under (content, config) keys
+    # repeat request: served from the warm store, bitwise-identical
+    r2 = request({"op": "analyze", "paths": [a, b]}, sock)
+    assert r2["features"] == r1["features"]
+    assert len(store) == 2
+
+
+def test_analyze_extended(served):
+    server, sock, _, tmp = served
+    a = _write_wav(tmp / "a.wav")
+    r = request({"op": "analyze", "paths": [a], "extended": True}, sock)
+    assert r["ok"]
+    assert len(r["extended"][a]) == len(r["extended_names"])
+
+
+def test_distance_paths_and_vectors(served):
+    server, sock, _, tmp = served
+    a = _write_wav(tmp / "a.wav", freq=300.0)
+    r = request({"op": "distance", "a": a, "b": [0.0, 0.0, 0.0, 0.0]}, sock)
+    assert r["ok"]
+    va = np.asarray(request(
+        {"op": "analyze", "paths": [a]}, sock)["features"][a])
+    assert r["distance"] == pytest.approx(float(np.linalg.norm(va)), rel=1e-5)
+    # self-distance ~ 0, similarity ~ 1 (reference README.md:17 property)
+    r = request({"op": "distance", "a": a, "b": a}, sock)
+    assert r["distance"] == pytest.approx(0.0, abs=1e-6)
+    assert r["similarity"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_playlist_orders_by_similarity(served):
+    server, sock, _, tmp = served
+    seed = _write_wav(tmp / "seed.wav", freq=400.0)
+    near = _write_wav(tmp / "near.wav", freq=410.0)
+    far = _write_wav(tmp / "far.wav", freq=5000.0, beat_hz=6.0, amp=16000.0)
+    r = request(
+        {"op": "playlist", "seed": seed, "paths": [far, near]}, sock
+    )
+    assert r["ok"]
+    assert r["paths"][0] == seed and set(r["paths"]) == {seed, near, far}
+
+
+def test_per_request_isolation(served):
+    server, sock, _, tmp = served
+    # bad op
+    r = request({"op": "frobnicate"}, sock)
+    assert not r["ok"] and "unknown op" in r["error"]
+    # malformed JSON line
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(30)
+        s.connect(sock)
+        s.sendall(b"{not json\n")
+        assert not json.loads(s.makefile().readline())["ok"]
+    # a missing file is an error ROW, not a failed request
+    good = _write_wav(tmp / "good.wav")
+    r = request(
+        {"op": "analyze", "paths": [good, str(tmp / "missing.flac")]}, sock
+    )
+    assert r["ok"] and good in r["features"]
+    assert str(tmp / "missing.flac") in r["errors"]
+    # server still alive
+    assert request({"op": "ping"}, sock)["ok"]
+
+
+def test_shutdown_op_stops_server_and_unlinks_socket(tmp_path):
+    sock = str(tmp_path / "bliss.sock")
+    server = AnalysisServer(sock)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    assert server.wait_ready(30)
+    assert request({"op": "shutdown"}, sock)["stopping"]
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert not os.path.exists(sock)
+
+
+def test_tcp_transport(tmp_path):
+    server = AnalysisServer(None, port=0)  # ephemeral loopback port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    assert server.wait_ready(30)
+    try:
+        a = _write_wav(tmp_path / "a.wav")
+        r = request({"op": "analyze", "paths": [a]}, port=server.port)
+        assert r["ok"] and a in r["features"]
+    finally:
+        server.stop()
+        t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_warmup_compiles_without_traffic(tmp_path):
+    server = AnalysisServer(str(tmp_path / "s.sock"))
+    server.warmup(seconds=1.0)  # must not raise; leaves no files behind
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_cli_serve_requires_exactly_one_transport(tmp_path):
+    from bliss_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["serve"])  # neither --socket nor --port
+    with pytest.raises(SystemExit):
+        main(["serve", "--socket", str(tmp_path / "s"), "--port", "0"])
+
+
+def test_concurrent_clients(served):
+    """Two clients issuing requests at once both get correct replies
+    (analysis is serialized internally; the protocol is per-connection)."""
+    server, sock, _, tmp = served
+    a = _write_wav(tmp / "a.wav")
+    results = {}
+
+    def client(name):
+        results[name] = request({"op": "analyze", "paths": [a], "id": name}, sock)
+
+    ts = [threading.Thread(target=client, args=(f"c{i}",)) for i in range(3)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert len(results) == 3
+    vals = [tuple(r["features"][a]) for r in results.values()]
+    assert all(r["ok"] for r in results.values())
+    assert len(set(vals)) == 1
