@@ -528,6 +528,19 @@ def build_parser() -> argparse.ArgumentParser:
     _add_band_opts(sv)
     sv.set_defaults(fn=cmd_serve)
 
+    cl = sub.add_parser(
+        "call",
+        help="send one JSON request to a running serve daemon",
+    )
+    cl.add_argument("--socket", help="daemon Unix socket path")
+    cl.add_argument("--port", type=int, help="daemon loopback TCP port")
+    cl.add_argument(
+        "request", nargs="?",
+        help="JSON request object ('-' or omitted = read from stdin), "
+        "e.g. '{\"op\": \"status\"}'",
+    )
+    cl.set_defaults(fn=cmd_call)
+
     v = sub.add_parser("version", help="print versions")
     v.set_defaults(fn=cmd_version)
     return p
@@ -537,6 +550,25 @@ def cmd_gui(args) -> int:
     from bliss_tpu.gui import main as gui_main
 
     return gui_main()
+
+
+def cmd_call(args) -> int:
+    import json
+
+    from bliss_tpu.server import request
+
+    if (args.socket is None) == (args.port is None):
+        raise SystemExit("call: pass exactly one of --socket / --port")
+    raw = args.request
+    if raw is None or raw == "-":
+        raw = sys.stdin.read()
+    try:
+        req = json.loads(raw)
+    except ValueError as e:
+        raise SystemExit(f"call: request is not valid JSON: {e}")
+    resp = request(req, args.socket, port=args.port)
+    print(json.dumps(resp, indent=2, sort_keys=True))
+    return 0 if resp.get("ok") else 1
 
 
 def cmd_serve(args) -> int:

@@ -173,6 +173,23 @@ def test_cli_serve_requires_exactly_one_transport(tmp_path):
         main(["serve", "--socket", str(tmp_path / "s"), "--port", "0"])
 
 
+def test_cli_call_roundtrip(served, capsys):
+    from bliss_tpu.cli import main
+
+    server, sock, _, _ = served
+    rc = main(["call", "--socket", sock, '{"op": "ping"}'])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out == {"ok": True, "pong": True}
+    # error responses exit nonzero
+    rc = main(["call", "--socket", sock, '{"op": "nope"}'])
+    assert rc == 1
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        main(["call", "--socket", sock, "{not json"])
+    with pytest.raises(SystemExit):
+        main(["call", '{"op": "ping"}'])  # no transport
+
+
 def test_concurrent_clients(served):
     """Two clients issuing requests at once both get correct replies
     (analysis is serialized internally; the protocol is per-connection)."""
