@@ -566,7 +566,10 @@ def cmd_call(args) -> int:
         req = json.loads(raw)
     except ValueError as e:
         raise SystemExit(f"call: request is not valid JSON: {e}")
-    resp = request(req, args.socket, port=args.port)
+    resp = request(
+        req, args.socket, port=args.port,
+        on_event=lambda e: print(json.dumps(e), file=sys.stderr),
+    )
     print(json.dumps(resp, indent=2, sort_keys=True))
     return 0 if resp.get("ok") else 1
 

@@ -22,6 +22,12 @@ Ops:
     analyze  {"paths": [p...], "extended"?}   -> {"features": {p: [t,a,f,k]},
                                                   "extended": {p: [...]}?,
                                                   "errors": {p: msg}}
+    scan     {"dir": d, "extended"?,
+              "progress"?}                    -> interleaved
+                                                 {"event": "progress", ...}
+                                                 lines (if requested), then
+                                                 {"files": n, "analyzed": n,
+                                                  "errors": {...}, "stats"?}
     distance {"a": p|vec, "b": p|vec}         -> {"distance": float,
                                                   "similarity": float}
     playlist {"seed": p, "paths": [p...],
@@ -196,7 +202,7 @@ class AnalysisServer:
                     line, buf = buf.split(b"\n", 1)
                     if not line.strip():
                         continue
-                    resp = self._handle_line(line)
+                    resp = self._handle_line(line, conn)
                     if not self._send(conn, resp):
                         return
                     if self._stop.is_set():
@@ -212,7 +218,7 @@ class AnalysisServer:
 
     # --- request handling ---------------------------------------------------
 
-    def _handle_line(self, line: bytes) -> dict:
+    def _handle_line(self, line: bytes, conn: socket.socket | None = None) -> dict:
         try:
             req = json.loads(line)
             if not isinstance(req, dict):
@@ -222,8 +228,16 @@ class AnalysisServer:
             return {"ok": False, "error": f"bad request: {e}"}
         rid = req.get("id")
         self._counters["requests"] += 1
+
+        def emit(obj: dict) -> None:
+            """Intermediate event line (no 'ok' key => not the response)."""
+            if conn is not None:
+                if rid is not None:
+                    obj = {**obj, "id": rid}
+                self._send(conn, obj)
+
         try:
-            out = self._dispatch(req)
+            out = self._dispatch(req, emit)
             out["ok"] = True
         except Exception as e:  # per-request isolation: server survives
             self._counters["errors"] += 1
@@ -233,7 +247,7 @@ class AnalysisServer:
             out["id"] = rid
         return out
 
-    def _dispatch(self, req: dict) -> dict:
+    def _dispatch(self, req: dict, emit) -> dict:
         op = req.get("op")
         if op == "ping":
             return {"pong": True}
@@ -241,6 +255,8 @@ class AnalysisServer:
             return self._status()
         if op == "analyze":
             return self._analyze_op(req)
+        if op == "scan":
+            return self._scan_op(req, emit)
         if op in ("distance", "cosine"):
             return self._distance_op(req)
         if op == "playlist":
@@ -317,6 +333,54 @@ class AnalysisServer:
             }
         return out
 
+    def _scan_op(self, req: dict, emit) -> dict:
+        """Walk a directory, analyze every audio file into the store.
+
+        The daemon analog of ``cli scan`` (and of the reference GUI's
+        background worker, reference python/examples/analyze_gui.py:13-58):
+        with ``"progress": true`` the connection receives interleaved
+        ``{"event": "progress", "done": n, "total": n, "path": ...}``
+        lines before the final response.
+        """
+        from bliss_tpu.cli import _collect_audio_files
+        from bliss_tpu.pipeline import analyze_library
+
+        d = req.get("dir")
+        if not isinstance(d, str) or not os.path.isdir(d):
+            raise ValueError("scan needs a 'dir' pointing at a directory")
+        files = _collect_audio_files([d])
+        extended = bool(req.get("extended", False))
+
+        progress = None
+        if req.get("progress"):
+            def progress(done, total, msg):
+                emit({
+                    "event": "progress", "done": done, "total": total,
+                    "path": msg,
+                })
+
+        with self._analysis_lock:
+            result = analyze_library(
+                files,
+                cfg=self.cfg,
+                batch_size=self.batch_size,
+                store=self.store,
+                mesh=self.mesh,
+                extended=extended,
+                progress=progress,
+                handle_sigint=False,
+            )
+        self._counters["songs_analyzed"] += int(result.ok.sum())
+        return {
+            "files": len(files),
+            "analyzed": int(result.ok.sum()),
+            "errors": result.errors,
+            "stats": {
+                k: v for k, v in result.stats.items()
+                if isinstance(v, (int, float, bool, str))
+            },
+        }
+
     def _vector(self, spec) -> np.ndarray:
         """An audio path (analyze, store-cached) or a literal 4-vector."""
         if isinstance(spec, str):
@@ -373,8 +437,14 @@ def request(
     port: int | None = None,
     host: str = "127.0.0.1",
     timeout: float = 600.0,
+    on_event=None,
 ) -> dict:
-    """One-shot client: send one request object, return the response."""
+    """One-shot client: send one request object, return the response.
+
+    Intermediate event lines (objects without an ``ok`` key, e.g. scan
+    progress) are passed to ``on_event`` if given, else discarded; the
+    first object carrying ``ok`` is the response.
+    """
     if (socket_path is None) == (port is None):
         raise ValueError("pass exactly one of socket_path / port")
     if socket_path is not None:
@@ -388,9 +458,15 @@ def request(
         s.connect(addr)
         s.sendall(json.dumps(obj).encode() + b"\n")
         buf = b""
-        while b"\n" not in buf:
-            chunk = s.recv(1 << 16)
-            if not chunk:
-                raise ConnectionError("server closed before replying")
-            buf += chunk
-    return json.loads(buf.split(b"\n", 1)[0])
+        while True:
+            while b"\n" not in buf:
+                chunk = s.recv(1 << 16)
+                if not chunk:
+                    raise ConnectionError("server closed before replying")
+                buf += chunk
+            line, buf = buf.split(b"\n", 1)
+            resp = json.loads(line)
+            if "ok" in resp:
+                return resp
+            if on_event is not None:
+                on_event(resp)

@@ -158,6 +158,29 @@ def test_tcp_transport(tmp_path):
     assert not t.is_alive()
 
 
+def test_scan_op_streams_progress_and_fills_store(served):
+    server, sock, store, tmp = served
+    lib = tmp / "lib"
+    lib.mkdir()
+    for i in range(3):
+        _write_wav(lib / f"s{i}.wav", freq=300.0 + 200 * i)
+    events = []
+    r = request(
+        {"op": "scan", "dir": str(lib), "progress": True}, sock,
+        on_event=events.append,
+    )
+    assert r["ok"] and r["files"] == 3 and r["analyzed"] == 3
+    assert r["errors"] == {} and len(store) == 3
+    assert events and all(e["event"] == "progress" for e in events)
+    assert events[-1]["done"] == 3 and events[-1]["total"] == 3
+    # re-scan: all store hits, still correct
+    r2 = request({"op": "scan", "dir": str(lib)}, sock)
+    assert r2["analyzed"] == 3 and len(store) == 3
+    # bad dir is a request error, server survives
+    assert not request({"op": "scan", "dir": str(lib / "nope")}, sock)["ok"]
+    assert request({"op": "ping"}, sock)["ok"]
+
+
 def test_warmup_compiles_without_traffic(tmp_path):
     server = AnalysisServer(str(tmp_path / "s.sock"))
     server.warmup(seconds=1.0)  # must not raise; leaves no files behind
