@@ -394,6 +394,41 @@ def cmd_store(args) -> int:
         if args.output != "-":
             print(f"exported {len(rows)} entries -> {args.output}")
         return 0
+    if args.action == "neighbors":
+        # every song's k closest others, straight from the warm store with
+        # zero re-analysis: one blocked MXU matmul + device top-k over the
+        # whole library (the Blissify "closest songs" workload; the
+        # reference can only compare two songs per bl_distance call)
+        from bliss_tpu.sim import nearest_neighbors_all
+
+        rows = sorted(store.items(), key=lambda kv: kv[0])
+        if len(rows) < 2:
+            print("need at least 2 store entries", file=sys.stderr)
+            return 2
+        names = [
+            str(store.metadata(k).get("filename", k)) for k, _ in rows
+        ]
+        feats = np.stack([v[:4] for _, v in rows])
+        k = min(args.top_k, len(rows) - 1)
+        dists, idx = (np.asarray(x) for x in nearest_neighbors_all(feats, k))
+        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        try:
+            out.write(
+                "filename;"
+                + ";".join(f"neighbor{j + 1};distance{j + 1}" for j in range(k))
+                + "\n"
+            )
+            for i, name in enumerate(names):
+                cells = []
+                for j in range(k):
+                    cells += [names[idx[i, j]], f"{dists[i, j]:f}"]
+                out.write(name + ";" + ";".join(cells) + "\n")
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        if args.output != "-":
+            print(f"wrote {len(rows)} x top-{k} neighbors -> {args.output}")
+        return 0
     if args.action == "prune":
         # drop entries whose source file no longer exists on disk; entries
         # with no recorded filename (pre-metadata stores) are kept
@@ -499,7 +534,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="export: CSV path ('-' = stdout)",
     )
     st.add_argument(
-        "action", choices=["stats", "compact", "export", "prune"]
+        "--top-k", type=int, default=5,
+        help="neighbors: how many nearest songs per entry",
+    )
+    st.add_argument(
+        "action",
+        choices=["stats", "compact", "export", "prune", "neighbors"],
     )
     st.add_argument("store", help="store directory")
     st.set_defaults(fn=cmd_store)

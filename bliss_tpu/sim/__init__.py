@@ -4,6 +4,7 @@ from bliss_tpu.sim.distance import (
     distance,
     distance_matrix,
     nearest_neighbors,
+    nearest_neighbors_all,
     playlist_order,
 )
 from bliss_tpu.sim.kmeans import kmeans
@@ -14,6 +15,7 @@ __all__ = [
     "distance_matrix",
     "cosine_similarity_matrix",
     "nearest_neighbors",
+    "nearest_neighbors_all",
     "playlist_order",
     "kmeans",
 ]

@@ -10,6 +10,8 @@ python/examples/make_m3u_playlist.py:65-67).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +79,55 @@ def nearest_neighbors(
     d = distance(features, query[None, :])
     neg, idx = jax.lax.top_k(-d, k)
     return -neg, idx
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _block_topk(q, feats, row0, k):
+    """Top-k neighbors of query block ``q`` [Q, D] within ``feats`` [N, D].
+
+    ``row0`` is the global index of q's first row; each query's own row is
+    masked out (self-distance) before the top-k.
+    """
+    sq_q = jnp.sum(q * q, axis=-1)
+    sq_f = jnp.sum(feats * feats, axis=-1)
+    gram = jnp.matmul(q, feats.T, precision=_HP)
+    d2 = sq_q[:, None] + sq_f[None, :] - 2.0 * gram
+    n = feats.shape[0]
+    self_col = row0 + jnp.arange(q.shape[0])
+    is_self = jnp.arange(n)[None, :] == self_col[:, None]
+    d2 = jnp.where(is_self, jnp.inf, jnp.maximum(d2, 0.0))
+    neg, idx = jax.lax.top_k(-d2, k)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+
+def nearest_neighbors_all(
+    features: jnp.ndarray, k: int, block: int = 4096
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Every song's k nearest others: [N, D] -> (dists [N, k], idx [N, k]).
+
+    Processed in query blocks of ``block`` rows so peak memory is
+    O(block * N), not O(N^2) — a 100k-song library needs ~1.6 GB per block
+    step instead of a 40 GB full matrix. Each block is one MXU matmul +
+    device top-k; the jitted program is reused across blocks (the last
+    block is padded to ``block`` rows).
+    """
+    feats = jnp.asarray(features, jnp.float32)
+    n, k = feats.shape[0], min(k, max(feats.shape[0] - 1, 0))
+    if n == 0 or k == 0:
+        return (jnp.zeros((n, 0), jnp.float32), jnp.zeros((n, 0), jnp.int32))
+    block = min(block, n)
+    dists, idxs = [], []
+    for row0 in range(0, n, block):
+        q = feats[row0 : row0 + block]
+        pad = block - q.shape[0]
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+        d, i = _block_topk(q, feats, row0, k)
+        if pad:
+            d, i = d[:-pad], i[:-pad]
+        dists.append(d)
+        idxs.append(i)
+    return jnp.concatenate(dists), jnp.concatenate(idxs)
 
 
 def playlist_order(features: jnp.ndarray, seed_index: int) -> jnp.ndarray:

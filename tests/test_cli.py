@@ -84,6 +84,32 @@ def test_cli_scan_and_playlist(capsys, library, tmp_path):
     assert len(entries) == 4
 
 
+def test_cli_store_neighbors(capsys, library, tmp_path):
+    """Warm-store top-k: zero re-analysis, every song's closest others."""
+    store = tmp_path / "store"
+    rc = main([
+        "scan", str(library), "-o", str(tmp_path / "f.csv"),
+        "--store", str(store), "--batch-size", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    out_csv = tmp_path / "nn.csv"
+    rc = main([
+        "store", "--top-k", "2", "-o", str(out_csv), "neighbors", str(store),
+    ])
+    assert rc == 0
+    lines = out_csv.read_text().strip().splitlines()
+    assert lines[0] == "filename;neighbor1;distance1;neighbor2;distance2"
+    assert len(lines) == 4  # header + 3 songs
+    # song.flac and song_s32.flac are nearly the same audio -> mutual
+    # nearest neighbors with a small distance
+    row = {l.split(";")[0]: l.split(";")[1:] for l in lines[1:]}
+    s16 = next(k for k in row if k.endswith("/song.flac"))
+    assert row[s16][0].endswith("song_s32.flac")
+    # the same pair the reference's distance example reports ~0.7286 for
+    assert float(row[s16][1]) == pytest.approx(0.72859, abs=2e-3)
+
+
 def test_cli_playlist_meshed(capsys, library, tmp_path):
     """--mesh on playlist (round 3: the mesh is reachable from every
     library command, not just scan)."""

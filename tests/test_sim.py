@@ -10,6 +10,7 @@ from bliss_tpu.sim import (
     distance_matrix,
     kmeans,
     nearest_neighbors,
+    nearest_neighbors_all,
     playlist_order,
 )
 
@@ -67,6 +68,28 @@ def test_nearest_neighbors_and_playlist():
     order = np.asarray(playlist_order(jnp.asarray(f), 7))
     assert order[0] == 7
     np.testing.assert_array_equal(order, np.argsort(brute))
+
+
+def test_nearest_neighbors_all_vs_bruteforce():
+    f = _feats(n=37, seed=3).astype(np.float32)
+    # block < n exercises the blocked path and last-block padding
+    d, idx = (np.asarray(x) for x in nearest_neighbors_all(f, k=4, block=16))
+    assert d.shape == (37, 4) and idx.shape == (37, 4)
+    full = np.sqrt(
+        ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+    )
+    np.fill_diagonal(full, np.inf)
+    ref_idx = np.argsort(full, axis=1)[:, :4]
+    ref_d = np.take_along_axis(full, ref_idx, axis=1)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+    assert (idx == ref_idx).all()
+    assert (idx != np.arange(37)[:, None]).all()  # never self
+    # degenerate sizes
+    d0, i0 = nearest_neighbors_all(f[:1], k=4)
+    assert d0.shape == (1, 0) and i0.shape == (1, 0)
+    # k clamped to n-1
+    d2, _ = nearest_neighbors_all(f[:3], k=99)
+    assert d2.shape == (3, 2)
 
 
 def test_kmeans_clusters_separated_data():
