@@ -32,6 +32,9 @@ Ops:
                                                   "similarity": float}
     playlist {"seed": p, "paths": [p...],
               "length"?}                      -> {"paths": [ordered...]}
+    neighbors {"top_k"?}                      -> every store entry's k
+                                                 nearest others (warm
+                                                 store, zero re-analysis)
     shutdown                                  -> {"stopping": true} and the
                                                  server exits its loop
 
@@ -261,6 +264,8 @@ class AnalysisServer:
             return self._distance_op(req)
         if op == "playlist":
             return self._playlist_op(req)
+        if op == "neighbors":
+            return self._neighbors_op(req)
         if op == "shutdown":
             self._stop.set()
             return {"stopping": True}
@@ -379,6 +384,35 @@ class AnalysisServer:
                 k: v for k, v in result.stats.items()
                 if isinstance(v, (int, float, bool, str))
             },
+        }
+
+    def _neighbors_op(self, req: dict) -> dict:
+        """Whole-library top-k from the warm store (see cli 'store
+        neighbors'): blocked MXU matmul + device top-k, no re-analysis."""
+        from bliss_tpu.sim import nearest_neighbors_all
+
+        if self.store is None:
+            raise ValueError("neighbors needs the daemon to run with --store")
+        rows = sorted(self.store.items(), key=lambda kv: kv[0])
+        if len(rows) < 2:
+            raise ValueError("need at least 2 store entries")
+        names = [
+            str(self.store.metadata(k).get("filename", k)) for k, _ in rows
+        ]
+        feats = np.stack([v[:4] for _, v in rows])
+        k = min(int(req.get("top_k", 5)), len(rows) - 1)
+        with self._analysis_lock:
+            dists, idx = (
+                np.asarray(x) for x in nearest_neighbors_all(feats, k)
+            )
+        return {
+            "neighbors": {
+                names[i]: [
+                    {"path": names[idx[i, j]], "distance": float(dists[i, j])}
+                    for j in range(k)
+                ]
+                for i in range(len(names))
+            }
         }
 
     def _vector(self, spec) -> np.ndarray:

@@ -181,6 +181,36 @@ def test_scan_op_streams_progress_and_fills_store(served):
     assert request({"op": "ping"}, sock)["ok"]
 
 
+def test_neighbors_op_from_warm_store(served):
+    server, sock, store, tmp = served
+    lib = tmp / "lib"
+    lib.mkdir()
+    paths = [
+        _write_wav(lib / "a.wav", freq=400.0),
+        _write_wav(lib / "b.wav", freq=420.0),
+        _write_wav(lib / "c.wav", freq=4000.0, beat_hz=5.0, amp=14000.0),
+    ]
+    assert request({"op": "scan", "dir": str(lib)}, sock)["analyzed"] == 3
+    r = request({"op": "neighbors", "top_k": 2}, sock)
+    assert r["ok"] and set(r["neighbors"]) == set(paths)
+    for nbrs in r["neighbors"].values():
+        assert len(nbrs) == 2
+        assert nbrs[0]["distance"] <= nbrs[1]["distance"]
+    # a/b are near-identical tones -> mutual nearest
+    assert r["neighbors"][paths[0]][0]["path"] == paths[1]
+    # without a store it's a request error
+    bare = AnalysisServer(str(tmp / "bare.sock"))
+    t = threading.Thread(target=bare.serve_forever, daemon=True)
+    t.start()
+    assert bare.wait_ready(30)
+    try:
+        rr = request({"op": "neighbors"}, str(tmp / "bare.sock"))
+        assert not rr["ok"] and "--store" in rr["error"]
+    finally:
+        bare.stop()
+        t.join(timeout=30)
+
+
 def test_warmup_compiles_without_traffic(tmp_path):
     server = AnalysisServer(str(tmp_path / "s.sock"))
     server.warmup(seconds=1.0)  # must not raise; leaves no files behind
