@@ -359,35 +359,42 @@ def cmd_store(args) -> int:
         return 0
     if args.action == "export":
         # warm-store CSV: everything a `scan` run writes, straight from the
-        # store with zero decode/analysis, plus the metadata tags
+        # store with zero decode/analysis, plus the metadata tags. The csv
+        # module quotes tag values that contain the ';' delimiter (the
+        # reference GUI's csv.writer does the same for its comma CSV,
+        # reference python/examples/analyze_gui.py:37-41).
+        import csv
+
         from bliss_tpu.features import EXTENDED_FEATURE_NAMES
 
-        rows = sorted(store.items(), key=lambda kv: kv[0])
-        has_ext = any(v.shape[0] > 4 for _, v in rows)
+        rows = store.snapshot()
+        has_ext = any(v.shape[0] > 4 for _, v, _ in rows)
         tag_cols = ("title", "artist", "album", "genre", "tracknumber")
-        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        out = sys.stdout if args.output == "-" else open(
+            args.output, "w", newline=""
+        )
         try:
-            header = (
-                "filename;" + ";".join(tag_cols)
-                + ";tempo;amplitude;frequency;attack;force"
-            )
+            w = csv.writer(out, delimiter=";")
+            header = ["filename", *tag_cols,
+                      "tempo", "amplitude", "frequency", "attack", "force"]
             if has_ext:
-                header += ";" + ";".join(EXTENDED_FEATURE_NAMES)
-            out.write(header + "\n")
-            for key, v in rows:
-                meta = store.metadata(key)
+                header += list(EXTENDED_FEATURE_NAMES)
+            w.writerow(header)
+            for key, v, meta in rows:
                 t, a, fr, k = (float(x) for x in v[:4])
-                force = max(t, 0.0) + a + fr + max(k, 0.0)
-                line = (
-                    str(meta.get("filename", key)) + ";"
-                    + ";".join(str(meta.get(c, "")) for c in tag_cols)
-                    + f";{t:f};{a:f};{fr:f};{k:f};{force:f}"
-                )
+                # same aggregation as AnalyzeResult.force / force_and_class
+                # (reference: src/analyze.c:67-79)
+                force = float(np.maximum(t, 0.0) + a + fr + np.maximum(k, 0.0))
+                row = [
+                    str(meta.get("filename", key)),
+                    *(str(meta.get(c, "")) for c in tag_cols),
+                    *(f"{x:f}" for x in (t, a, fr, k, force)),
+                ]
                 if has_ext:
                     ext = [f"{float(x):f}" for x in v[4:]]
                     ext += [""] * (len(EXTENDED_FEATURE_NAMES) - len(ext))
-                    line += ";" + ";".join(ext)
-                out.write(line + "\n")
+                    row += ext
+                w.writerow(row)
         finally:
             if out is not sys.stdout:
                 out.close()
@@ -399,35 +406,39 @@ def cmd_store(args) -> int:
         # zero re-analysis: one blocked MXU matmul + device top-k over the
         # whole library (the Blissify "closest songs" workload; the
         # reference can only compare two songs per bl_distance call)
-        from bliss_tpu.sim import nearest_neighbors_all
+        import csv
 
-        rows = sorted(store.items(), key=lambda kv: kv[0])
-        if len(rows) < 2:
+        from bliss_tpu.sim import nearest_neighbors_all
+        from bliss_tpu.store import similarity_rows
+
+        if args.top_k < 1:
+            print(f"--top-k must be >= 1 (got {args.top_k})", file=sys.stderr)
+            return 2
+        names, feats = similarity_rows(store)
+        if len(names) < 2:
             print("need at least 2 store entries", file=sys.stderr)
             return 2
-        names = [
-            str(store.metadata(k).get("filename", k)) for k, _ in rows
-        ]
-        feats = np.stack([v[:4] for _, v in rows])
-        k = min(args.top_k, len(rows) - 1)
+        k = min(args.top_k, len(names) - 1)
         dists, idx = (np.asarray(x) for x in nearest_neighbors_all(feats, k))
-        out = sys.stdout if args.output == "-" else open(args.output, "w")
+        out = sys.stdout if args.output == "-" else open(
+            args.output, "w", newline=""
+        )
         try:
-            out.write(
-                "filename;"
-                + ";".join(f"neighbor{j + 1};distance{j + 1}" for j in range(k))
-                + "\n"
-            )
+            w = csv.writer(out, delimiter=";")
+            w.writerow(["filename"] + [
+                c for j in range(k)
+                for c in (f"neighbor{j + 1}", f"distance{j + 1}")
+            ])
             for i, name in enumerate(names):
                 cells = []
                 for j in range(k):
                     cells += [names[idx[i, j]], f"{dists[i, j]:f}"]
-                out.write(name + ";" + ";".join(cells) + "\n")
+                w.writerow([name] + cells)
         finally:
             if out is not sys.stdout:
                 out.close()
         if args.output != "-":
-            print(f"wrote {len(rows)} x top-{k} neighbors -> {args.output}")
+            print(f"wrote {len(names)} x top-{k} neighbors -> {args.output}")
         return 0
     if args.action == "prune":
         # drop entries whose source file no longer exists on disk; entries
@@ -575,6 +586,11 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--socket", help="daemon Unix socket path")
     cl.add_argument("--port", type=int, help="daemon loopback TCP port")
     cl.add_argument(
+        "--timeout", type=float, default=600.0,
+        help="seconds to wait for the response (a big scan without "
+        "progress events can exceed the default 600)",
+    )
+    cl.add_argument(
         "request", nargs="?",
         help="JSON request object ('-' or omitted = read from stdin), "
         "e.g. '{\"op\": \"status\"}'",
@@ -606,10 +622,19 @@ def cmd_call(args) -> int:
         req = json.loads(raw)
     except ValueError as e:
         raise SystemExit(f"call: request is not valid JSON: {e}")
-    resp = request(
-        req, args.socket, port=args.port,
-        on_event=lambda e: print(json.dumps(e), file=sys.stderr),
-    )
+    import socket as _socket
+
+    try:
+        resp = request(
+            req, args.socket, port=args.port, timeout=args.timeout,
+            on_event=lambda e: print(json.dumps(e), file=sys.stderr),
+        )
+    except _socket.timeout:
+        raise SystemExit(
+            f"call: no response after {args.timeout:g}s — the daemon may "
+            "still be working (raise --timeout, or add \"progress\": true "
+            "to scan requests to keep the connection active)"
+        )
     print(json.dumps(resp, indent=2, sort_keys=True))
     return 0 if resp.get("ok") else 1
 
@@ -631,7 +656,12 @@ def cmd_serve(args) -> int:
     if not args.no_warmup:
         print("warming up (compiling the analysis program)...", file=sys.stderr)
         server.warmup()
-    where = args.socket or f"127.0.0.1:{args.port}"
+    # bind before announcing so an ephemeral --port 0 prints the REAL port
+    try:
+        server.bind()
+    except RuntimeError as e:
+        raise SystemExit(f"serve: {e}")
+    where = args.socket or f"127.0.0.1:{server.port}"
     print(f"serving on {where} (Ctrl-C to stop)", file=sys.stderr)
     try:
         server.serve_forever()

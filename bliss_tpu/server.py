@@ -65,6 +65,7 @@ from bliss_tpu.utils import get_logger, log_event
 logger = get_logger("bliss_tpu.server")
 
 _MAX_LINE = 32 << 20  # defensive cap on one request line (32 MB)
+_SEND_TIMEOUT = 30.0  # max seconds one send to a stalled client may block
 
 
 class AnalysisServer:
@@ -99,6 +100,7 @@ class AnalysisServer:
         self._analysis_lock = threading.Lock()
         self._stop = threading.Event()
         self._listener: socket.socket | None = None
+        self._sock_ino: int | None = None
         self._t0 = time.time()
         self._counters = {"requests": 0, "songs_analyzed": 0, "errors": 0}
         self._ready = threading.Event()
@@ -111,13 +113,27 @@ class AnalysisServer:
                 raise RuntimeError(
                     "AF_UNIX unavailable on this platform; use port="
                 )
-            # stale socket file from a dead server: safe to replace
-            try:
+            # A socket file may be a stale leftover from a dead server
+            # (safe to replace) or a LIVE daemon (silently stealing its
+            # path would leave it running but unreachable): probe first.
+            if os.path.exists(self.socket_path):
+                probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                try:
+                    probe.settimeout(2.0)
+                    probe.connect(self.socket_path)
+                except OSError:
+                    pass  # nobody answering -> stale file
+                else:
+                    raise RuntimeError(
+                        f"{self.socket_path}: a live server is already "
+                        "listening here"
+                    )
+                finally:
+                    probe.close()
                 os.unlink(self.socket_path)
-            except FileNotFoundError:
-                pass
             s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             s.bind(self.socket_path)
+            self._sock_ino = os.stat(self.socket_path).st_ino
         else:
             s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -151,10 +167,17 @@ class AnalysisServer:
             )
         log_event(logger, "warmup done", seconds=round(time.time() - self._t0, 2))
 
+    def bind(self) -> None:
+        """Bind the listener now (idempotent). ``serve_forever`` calls this
+        itself; call it earlier to resolve an ephemeral ``port=0`` to the
+        real port before announcing the address."""
+        if self._listener is None:
+            self._listener = self._bind()
+            self._ready.set()
+
     def serve_forever(self) -> None:
         """Accept connections until a ``shutdown`` op or ``stop()``."""
-        self._listener = self._bind()
-        self._ready.set()
+        self.bind()
         where = self.socket_path or f"{self.host}:{self.port}"
         log_event(logger, "serving", at=where)
         try:
@@ -172,9 +195,12 @@ class AnalysisServer:
         finally:
             self._listener.close()
             if self.socket_path is not None:
+                # only remove the file WE bound: if another daemon replaced
+                # it meanwhile, unlinking would cut that live server off
                 try:
-                    os.unlink(self.socket_path)
-                except FileNotFoundError:
+                    if os.stat(self.socket_path).st_ino == self._sock_ino:
+                        os.unlink(self.socket_path)
+                except OSError:
                     pass
             if self.store is not None:
                 self.store.flush()
@@ -188,11 +214,19 @@ class AnalysisServer:
         return self._ready.wait(timeout)
 
     def _serve_connection(self, conn: socket.socket) -> None:
+        # The timeout bounds how long ONE send to a stalled client can
+        # block (a scan-progress emit runs under the analysis lock, so an
+        # unbounded sendall there would wedge every other client's
+        # analysis). Idle recv timeouts are normal for a kept-open client
+        # connection and just re-poll.
+        conn.settimeout(_SEND_TIMEOUT)
         with conn:
             buf = b""
             while not self._stop.is_set():
                 try:
                     chunk = conn.recv(1 << 16)
+                except socket.timeout:
+                    continue
                 except OSError:
                     return
                 if not chunk:
@@ -232,12 +266,17 @@ class AnalysisServer:
         rid = req.get("id")
         self._counters["requests"] += 1
 
+        broken = [False]  # after one failed send, stop trying: each retry
+        # against a stalled client would burn another _SEND_TIMEOUT while
+        # the analysis lock is held
+
         def emit(obj: dict) -> None:
             """Intermediate event line (no 'ok' key => not the response)."""
-            if conn is not None:
+            if conn is not None and not broken[0]:
                 if rid is not None:
                     obj = {**obj, "id": rid}
-                self._send(conn, obj)
+                if not self._send(conn, obj):
+                    broken[0] = True
 
         try:
             out = self._dispatch(req, emit)
@@ -388,30 +427,32 @@ class AnalysisServer:
 
     def _neighbors_op(self, req: dict) -> dict:
         """Whole-library top-k from the warm store (see cli 'store
-        neighbors'): blocked MXU matmul + device top-k, no re-analysis."""
+        neighbors'): blocked MXU matmul + device top-k, no re-analysis.
+        ``similarity_rows`` snapshots under the store lock (safe against a
+        concurrent scan's puts) and dedups multi-config entries per file."""
         from bliss_tpu.sim import nearest_neighbors_all
+        from bliss_tpu.store import similarity_rows
 
         if self.store is None:
             raise ValueError("neighbors needs the daemon to run with --store")
-        rows = sorted(self.store.items(), key=lambda kv: kv[0])
-        if len(rows) < 2:
+        top_k = int(req.get("top_k", 5))
+        if top_k < 1:
+            raise ValueError(f"top_k must be >= 1 (got {top_k})")
+        names, feats = similarity_rows(self.store)
+        if len(names) < 2:
             raise ValueError("need at least 2 store entries")
-        names = [
-            str(self.store.metadata(k).get("filename", k)) for k, _ in rows
-        ]
-        feats = np.stack([v[:4] for _, v in rows])
-        k = min(int(req.get("top_k", 5)), len(rows) - 1)
+        k = min(top_k, len(names) - 1)
         with self._analysis_lock:
             dists, idx = (
                 np.asarray(x) for x in nearest_neighbors_all(feats, k)
             )
         return {
             "neighbors": {
-                names[i]: [
+                name: [
                     {"path": names[idx[i, j]], "distance": float(dists[i, j])}
                     for j in range(k)
                 ]
-                for i in range(len(names))
+                for i, name in enumerate(names)
             }
         }
 
@@ -457,7 +498,11 @@ class AnalysisServer:
         order = np.asarray(
             playlist_order(result.features[valid], valid.index(paths.index(seed)))
         )
-        length = req.get("length") or len(order)
+        length = req.get("length")
+        if length is None:
+            length = len(order)
+        elif not isinstance(length, int) or length < 0:
+            raise ValueError(f"length must be a non-negative int (got {length!r})")
         return {
             "paths": [paths[valid[i]] for i in order[:length]],
             "errors": result.errors,

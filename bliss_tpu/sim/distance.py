@@ -113,7 +113,7 @@ def nearest_neighbors_all(
     """
     feats = jnp.asarray(features, jnp.float32)
     n, k = feats.shape[0], min(k, max(feats.shape[0] - 1, 0))
-    if n == 0 or k == 0:
+    if n == 0 or k <= 0:
         return (jnp.zeros((n, 0), jnp.float32), jnp.zeros((n, 0), jnp.int32))
     block = min(block, n)
     dists, idxs = [], []

@@ -50,6 +50,29 @@ def file_fingerprint(path: str, quick: bool = True) -> str:
     return h.hexdigest()[:32]
 
 
+def similarity_rows(store: "FeatureStore") -> tuple[list[str], np.ndarray]:
+    """``(names, [N, 4] core features)`` for whole-library similarity ops
+    (cli ``store neighbors``, the serve daemon's ``neighbors`` op).
+
+    One row per song: store entries are keyed by (content hash, analysis
+    config), so a file scanned under several configs — e.g. a core pass
+    then an ``--extended`` re-scan — owns several entries with identical
+    core features. Stacking them all would make every such song its own
+    nearest neighbor at distance 0, so rows are deduped by display name,
+    keeping the widest (most feature-rich) vector, latest key on ties.
+    """
+    best: dict[str, np.ndarray] = {}
+    for key, vec, meta in store.snapshot():
+        name = str(meta.get("filename", key))
+        prev = best.get(name)
+        if prev is None or vec.shape[0] >= prev.shape[0]:
+            best[name] = vec
+    names = sorted(best)
+    if not names:
+        return names, np.zeros((0, 4), np.float32)
+    return names, np.stack([best[n][:4] for n in names]).astype(np.float32)
+
+
 class FeatureStore:
     """Persistent {fingerprint: (force_vector, metadata)} map."""
 
@@ -232,6 +255,17 @@ class FeatureStore:
 
     def items(self):
         return self._features.items()
+
+    def snapshot(self) -> list[tuple[str, np.ndarray, dict]]:
+        """Consistent point-in-time ``[(key, features, meta)]`` list, sorted
+        by key. Safe to call while another thread is ``put``-ing (iterating
+        ``items()`` directly during a concurrent scan raises
+        'dictionary changed size during iteration')."""
+        with self._lock:
+            return [
+                (k, self._features[k], self._meta.get(k, {}))
+                for k in sorted(self._features)
+            ]
 
     def metadata(self, key: str) -> dict:
         return self._meta.get(key, {})

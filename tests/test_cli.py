@@ -3,6 +3,8 @@
 import os
 import shutil
 
+import numpy as np
+
 import pytest
 
 from bliss_tpu.cli import main
@@ -285,3 +287,49 @@ def test_cli_scan_with_mesh(fixture_dir, tmp_path):
     assert len(lines) == 3  # header + 2 songs
     tempo = float(lines[1].split(";")[1])
     assert abs(tempo - (-8.945454)) < 1e-3
+
+
+def test_cli_store_export_quotes_delimiter_in_tags(tmp_path):
+    """A tag containing the ';' CSV delimiter must be quoted, not shift
+    every later column."""
+    import csv
+
+    from bliss_tpu.cli import main
+    from bliss_tpu.store import FeatureStore
+
+    store_dir = str(tmp_path / "store")
+    s = FeatureStore(store_dir)
+    s.put(
+        "k1", np.array([0.1, -1.0, 2.0, -0.5], np.float32),
+        {"filename": "x.flac", "album": "Greatest Hits; Vol. 2",
+         "title": "A;B"},
+    )
+    s.flush()
+    out_csv = str(tmp_path / "warm.csv")
+    assert main(["store", "export", store_dir, "-o", out_csv]) == 0
+    with open(out_csv, newline="") as f:
+        rows = list(csv.reader(f, delimiter=";"))
+    assert rows[0][:6] == [
+        "filename", "title", "artist", "album", "genre", "tracknumber"
+    ]
+    row = rows[1]
+    assert row[1] == "A;B"
+    assert row[3] == "Greatest Hits; Vol. 2"
+    # numeric columns still land under the right headers
+    assert float(row[6]) == pytest.approx(0.1, abs=1e-6)       # tempo
+    assert float(row[10]) == pytest.approx(1.1, abs=1e-5)      # force
+
+
+def test_cli_store_neighbors_rejects_bad_top_k(tmp_path, capsys):
+    from bliss_tpu.cli import main
+    from bliss_tpu.store import FeatureStore
+
+    store_dir = str(tmp_path / "store")
+    s = FeatureStore(store_dir)
+    s.put("k1", np.zeros(4, np.float32), {"filename": "a"})
+    s.put("k2", np.ones(4, np.float32), {"filename": "b"})
+    s.flush()
+    for bad in ("0", "-1"):
+        rc = main(["store", "--top-k", bad, "neighbors", store_dir])
+        assert rc == 2
+        assert "--top-k must be >= 1" in capsys.readouterr().err

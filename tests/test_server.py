@@ -260,3 +260,93 @@ def test_concurrent_clients(served):
     vals = [tuple(r["features"][a]) for r in results.values()]
     assert all(r["ok"] for r in results.values())
     assert len(set(vals)) == 1
+
+
+def test_playlist_length_zero_and_negative(served):
+    server, sock, _, tmp = served
+    a = _write_wav(tmp / "a.wav", freq=300.0)
+    b = _write_wav(tmp / "b.wav", freq=900.0)
+    r = request({"op": "playlist", "seed": a, "paths": [b], "length": 0}, sock)
+    assert r["ok"] and r["paths"] == []
+    r = request({"op": "playlist", "seed": a, "paths": [b], "length": 1}, sock)
+    assert r["ok"] and r["paths"] == [a]
+    r = request({"op": "playlist", "seed": a, "paths": [b], "length": -1}, sock)
+    assert not r["ok"] and "non-negative" in r["error"]
+
+
+def test_neighbors_rejects_bad_top_k(served):
+    server, sock, _, _ = served
+    r = request({"op": "neighbors", "top_k": 0}, sock)
+    assert not r["ok"] and "top_k must be >= 1" in r["error"]
+
+
+def test_bind_refuses_live_socket_and_spares_replacement(tmp_path):
+    """Starting a second daemon on a live socket must fail instead of
+    silently cutting the first one off; and a stopping server must not
+    unlink a socket file it no longer owns."""
+    sock = str(tmp_path / "bliss.sock")
+    a = AnalysisServer(sock)
+    t = threading.Thread(target=a.serve_forever, daemon=True)
+    t.start()
+    assert a.wait_ready(30)
+
+    b = AnalysisServer(sock)
+    with pytest.raises(RuntimeError, match="already listening"):
+        b.bind()
+    # the probe must not have broken A
+    assert request({"op": "ping"}, sock)["ok"]
+
+    # simulate a takeover: replace A's socket file with someone else's
+    os.unlink(sock)
+    other = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    other.bind(sock)
+    try:
+        a.stop()
+        t.join(timeout=30)
+        assert not t.is_alive()
+        # A must NOT have unlinked the replacement socket
+        assert os.path.exists(sock)
+    finally:
+        other.close()
+        os.unlink(sock)
+
+
+def test_scan_survives_client_that_stops_reading(served):
+    """A progress-streaming client that disconnects mid-scan must not wedge
+    the daemon (emits run under the analysis lock)."""
+    server, sock, store, tmp = served
+    lib = tmp / "lib"
+    lib.mkdir()
+    for i in range(3):
+        _write_wav(lib / f"s{i}.wav", freq=300.0 + 100 * i)
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(sock)
+    s.sendall(json.dumps(
+        {"op": "scan", "dir": str(lib), "progress": True}
+    ).encode() + b"\n")
+    s.close()  # walk away before any progress/response line
+    # the daemon must finish the scan and stay responsive
+    deadline = 120
+    import time
+    t0 = time.time()
+    while len(store) < 3 and time.time() - t0 < deadline:
+        time.sleep(0.5)
+    assert len(store) == 3
+    assert request({"op": "ping"}, sock)["ok"]
+
+
+def test_ephemeral_port_resolves_before_serving(tmp_path):
+    """bind() must resolve port=0 to the real port so `serve` can announce
+    a usable address (cli prints it before serve_forever)."""
+    server = AnalysisServer(port=0)
+    server.bind()
+    assert server.port != 0
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    assert server.wait_ready(30)
+    try:
+        assert request({"op": "ping"}, port=server.port)["ok"]
+    finally:
+        server.stop()
+        t.join(timeout=30)
+        assert not t.is_alive()

@@ -134,3 +134,14 @@ def test_kmeans_convergence_stop_matches_long_run():
     np.testing.assert_allclose(
         np.asarray(c_tol), np.asarray(c_more), atol=1e-5
     )
+
+
+def test_nearest_neighbors_all_degenerate_k():
+    """k <= 0 (e.g. a clamped single-entry library) returns empty columns
+    instead of raising inside jax.lax.top_k."""
+    from bliss_tpu.sim import nearest_neighbors_all
+
+    feats = np.arange(8, dtype=np.float32).reshape(2, 4)
+    for k in (0, -1):
+        d, i = nearest_neighbors_all(feats, k)
+        assert d.shape == (2, 0) and i.shape == (2, 0)

@@ -170,3 +170,54 @@ def test_remove_dirty_entry_never_flushed(tmp_path):
     s2 = FeatureStore(str(tmp_path))
     assert len(s2) == 3
     assert s2.get("key00000002") is None
+
+
+def test_similarity_rows_dedups_multi_config_entries(tmp_path):
+    """Entries are keyed by (content, config): a file scanned core then
+    --extended owns two rows with identical core features. similarity_rows
+    must collapse them (widest vector wins) or every such song becomes its
+    own nearest neighbor at distance 0."""
+    from bliss_tpu.store import similarity_rows
+
+    s = FeatureStore(str(tmp_path))
+    s.put("corekey1", np.array([1, 2, 3, 4], np.float32),
+          {"filename": "a.flac"})
+    s.put("extkey1", np.array([1, 2, 3, 4, 9, 9], np.float32),
+          {"filename": "a.flac"})
+    s.put("corekey2", np.array([5, 6, 7, 8], np.float32),
+          {"filename": "b.flac"})
+    names, feats = similarity_rows(s)
+    assert names == ["a.flac", "b.flac"]
+    assert feats.shape == (2, 4)
+    np.testing.assert_array_equal(feats[0], [1, 2, 3, 4])
+    np.testing.assert_array_equal(feats[1], [5, 6, 7, 8])
+
+    empty_names, empty_feats = similarity_rows(FeatureStore(str(tmp_path / "e")))
+    assert empty_names == [] and empty_feats.shape == (0, 4)
+
+
+def test_snapshot_safe_during_concurrent_puts(tmp_path):
+    """snapshot() must tolerate another thread inserting keys mid-iteration
+    (the serve daemon's neighbors op runs against a store a concurrent scan
+    is writing to)."""
+    import threading
+
+    s = FeatureStore(str(tmp_path))
+    _fill(s, 0, 500)
+    stop = threading.Event()
+
+    def writer():
+        i = 500
+        while not stop.is_set():
+            _fill(s, i, 1)
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(200):
+            rows = s.snapshot()
+            assert len(rows) >= 500
+    finally:
+        stop.set()
+        t.join(timeout=30)
