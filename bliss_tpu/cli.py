@@ -20,6 +20,7 @@ Run: python -m bliss_tpu.cli <command> ...
 from __future__ import annotations
 
 import argparse
+import csv
 import mimetypes
 import os
 import sys
@@ -140,8 +141,12 @@ def cmd_ml_analyze(args) -> int:
     result = analyze_library(
         files, batch_size=args.batch_size, mesh=_parse_mesh(args.mesh)
     )
-    out = open(args.output, "w") if args.output else sys.stdout
+    out = open(args.output, "w", newline="") if args.output else sys.stdout
     try:
+        # csv.writer quotes a title containing the ';' delimiter (byte-
+        # identical to the reference's raw printf otherwise,
+        # reference examples/ml_analyze.c:18-20)
+        w = csv.writer(out, delimiter=";")
         for i, f in enumerate(files):
             if not result.ok[i]:
                 continue
@@ -153,7 +158,7 @@ def cmd_ml_analyze(args) -> int:
                 except Exception:  # noqa: BLE001
                     pass
             t, a, fr, k = result.features[i]
-            out.write(f"{title};{t:f};{a:f};{fr:f};{k:f}\n")
+            w.writerow([title] + [f"{v:f}" for v in (t, a, fr, k)])
     finally:
         if args.output:
             out.close()
@@ -266,22 +271,26 @@ def cmd_scan(args) -> int:
     print("", file=sys.stderr)
     from bliss_tpu.features import EXTENDED_FEATURE_NAMES
 
-    with open(args.output, "w") as f:
-        header = "filename;tempo;amplitude;frequency;attack;force"
+    with open(args.output, "w", newline="") as f:
+        # csv.writer so a filename containing ';' is quoted, not column-
+        # shifting (byte-identical to raw joins otherwise)
+        w = csv.writer(f, delimiter=";")
+        header = ["filename", "tempo", "amplitude", "frequency",
+                  "attack", "force"]
         if args.extended:
-            header += ";" + ";".join(EXTENDED_FEATURE_NAMES)
-        f.write(header + "\n")
+            header += list(EXTENDED_FEATURE_NAMES)
+        w.writerow(header)
         force = result.force()
         for i, name in enumerate(files):
             if not result.ok[i]:
                 continue
             t, a, fr, k = result.features[i]
-            line = f"{name};{t:f};{a:f};{fr:f};{k:f};{force[i]:f}"
+            row = [name] + [
+                f"{v:f}" for v in (t, a, fr, k, force[i])
+            ]
             if args.extended:
-                line += ";" + ";".join(
-                    f"{v:f}" for v in result.extended[i]
-                )
-            f.write(line + "\n")
+                row += [f"{v:f}" for v in result.extended[i]]
+            w.writerow(row)
     bad = [f for f in result.errors]
     print(
         f"scanned {int(result.ok.sum())}/{len(files)} songs -> {args.output}"
@@ -363,8 +372,6 @@ def cmd_store(args) -> int:
         # module quotes tag values that contain the ';' delimiter (the
         # reference GUI's csv.writer does the same for its comma CSV,
         # reference python/examples/analyze_gui.py:37-41).
-        import csv
-
         from bliss_tpu.features import EXTENDED_FEATURE_NAMES
 
         rows = store.snapshot()
@@ -406,8 +413,6 @@ def cmd_store(args) -> int:
         # zero re-analysis: one blocked MXU matmul + device top-k over the
         # whole library (the Blissify "closest songs" workload; the
         # reference can only compare two songs per bl_distance call)
-        import csv
-
         from bliss_tpu.sim import nearest_neighbors_all
         from bliss_tpu.store import similarity_rows
 
