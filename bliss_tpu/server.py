@@ -139,7 +139,9 @@ class AnalysisServer:
             s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             s.bind((self.host, self.port))
             self.port = s.getsockname()[1]  # resolve port=0
-        s.listen(8)
+        s.listen(64)  # enough backlog for a burst of one-shot clients
+        # (each `request()` opens a fresh connection; on a loaded 1-core
+        # host a burst can outrun the accept loop)
         s.settimeout(0.25)  # so the accept loop notices _stop
         return s
 

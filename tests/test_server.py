@@ -350,3 +350,104 @@ def test_ephemeral_port_resolves_before_serving(tmp_path):
         server.stop()
         t.join(timeout=30)
         assert not t.is_alive()
+
+
+def test_protocol_fuzz_malformed_requests(served):
+    """The daemon must answer (or cleanly drop) anything a confused client
+    throws at it, and stay alive throughout."""
+    server, sock, _, _ = served
+    evil = [
+        b"not json at all\n",
+        b"[1, 2, 3]\n",                      # JSON but not an object
+        b'"just a string"\n',
+        b"{}\n",                              # no op
+        b'{"op": "no_such_op"}\n',
+        b'{"op": null}\n',
+        b'{"op": "analyze"}\n',               # missing paths
+        b'{"op": "analyze", "paths": []}\n',
+        b'{"op": "analyze", "paths": [42]}\n',
+        b'{"op": "scan", "dir": "/nonexistent/dir"}\n',
+        b'{"op": "distance", "a": [1,2], "b": [1,2,3,4]}\n',
+        b'{"op": "playlist"}\n',
+        b'\xff\xfe garbage bytes\n',
+        b'{"op": "ping", "id": {"nested": ["weird", null]}}\n',
+    ]
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(sock)
+    s.settimeout(60)
+    with s:
+        buf = b""
+        for line in evil:
+            s.sendall(line)
+            while b"\n" not in buf:
+                buf += s.recv(1 << 16)
+            resp_line, buf = buf.split(b"\n", 1)
+            resp = json.loads(resp_line)
+            if b'"ping"' in line:
+                assert resp["ok"]
+            else:
+                assert not resp["ok"] and resp["error"]
+    # a single oversized line is rejected and the connection dropped,
+    # but the server survives
+    s2 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s2.connect(sock)
+    s2.settimeout(120)
+    with s2:
+        big = b'{"op": "ping", "pad": "' + b"x" * (33 << 20) + b'"}\n'
+        try:
+            s2.sendall(big)
+            resp = json.loads(s2.recv(1 << 16).split(b"\n")[0])
+            assert not resp["ok"] and "too large" in resp["error"]
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # server may drop mid-send; that's a clean rejection too
+    assert request({"op": "ping"}, sock)["ok"]
+
+
+def test_concurrent_mixed_clients(served):
+    """Many clients issuing mixed ops at once: every request gets a
+    correct, request-matched answer (the lock serializes device work but
+    must not cross wires between connections)."""
+    server, sock, store, tmp = served
+    a = _write_wav(tmp / "a.wav", freq=350.0)
+    b = _write_wav(tmp / "b.wav", freq=3000.0, beat_hz=5.0)
+    # prime the store so neighbors has rows and analyze hits the cache
+    assert request({"op": "analyze", "paths": [a, b]}, sock)["ok"]
+
+    results, errors = {}, []
+
+    def client(i):
+        try:
+            ops = [
+                {"op": "ping", "id": i},
+                {"op": "status"},
+                {"op": "analyze", "paths": [a, b]},
+                {"op": "distance", "a": a, "b": b},
+                {"op": "neighbors", "top_k": 1},
+                {"op": "playlist", "seed": a, "paths": [b]},
+            ]
+            r = request(ops[i % len(ops)], sock, timeout=300)
+            results[i] = r
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(18)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive()
+    assert not errors
+    assert len(results) == 18
+    for i, r in results.items():
+        assert r["ok"], (i, r)
+        kind = i % 6
+        if kind == 0:
+            assert r["pong"] and r["id"] == i
+        elif kind == 2:
+            assert set(r["features"]) == {a, b}
+        elif kind == 3:
+            assert r["distance"] > 0
+        elif kind == 4:
+            assert r["neighbors"][a][0]["path"] == b
+        elif kind == 5:
+            assert r["paths"][0] == a
