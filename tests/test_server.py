@@ -451,3 +451,32 @@ def test_concurrent_mixed_clients(served):
             assert r["neighbors"][a][0]["path"] == b
         elif kind == 5:
             assert r["paths"][0] == a
+
+
+def test_daemon_with_mesh_matches_unsharded(served, tmp_path):
+    """A daemon built with a device mesh serves the same features as the
+    plain one (the serve --mesh path)."""
+    from bliss_tpu.parallel import analysis_mesh
+
+    server, sock, _, tmp = served
+    a = _write_wav(tmp / "a.wav", freq=500.0)
+    plain = request({"op": "analyze", "paths": [a]}, sock)
+    assert plain["ok"]
+
+    msock = str(tmp_path / "mesh.sock")
+    meshed = AnalysisServer(
+        msock, store=None, batch_size=8, mesh=analysis_mesh(4, 2)
+    )
+    t = threading.Thread(target=meshed.serve_forever, daemon=True)
+    t.start()
+    assert meshed.wait_ready(30)
+    try:
+        r = request({"op": "analyze", "paths": [a]}, msock, timeout=300)
+        assert r["ok"] and r["errors"] == {}
+        np.testing.assert_allclose(
+            r["features"][a], plain["features"][a], atol=2e-5
+        )
+    finally:
+        meshed.stop()
+        t.join(timeout=60)
+        assert not t.is_alive()
