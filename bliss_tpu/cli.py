@@ -574,6 +574,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--port", type=int,
         help="loopback TCP port instead of a Unix socket (0 = ephemeral)",
     )
+    sv.add_argument(
+        "--http-port", type=int,
+        help="also (or only) serve HTTP on this loopback port: POST / with "
+        "a request object, GET /ping /status /metrics (0 = ephemeral)",
+    )
     sv.add_argument("--store", help="feature-store directory (cache)")
     sv.add_argument("--batch-size", type=int, default=64)
     sv.add_argument(
@@ -648,8 +653,10 @@ def cmd_serve(args) -> int:
     from bliss_tpu.server import AnalysisServer
     from bliss_tpu.store import FeatureStore
 
-    if (args.socket is None) == (args.port is None):
-        raise SystemExit("serve: pass exactly one of --socket / --port")
+    if args.socket is not None and args.port is not None:
+        raise SystemExit("serve: pass at most one of --socket / --port")
+    if args.socket is None and args.port is None and args.http_port is None:
+        raise SystemExit("serve: pass --socket, --port, or --http-port")
     server = AnalysisServer(
         args.socket,
         port=args.port,
@@ -661,6 +668,22 @@ def cmd_serve(args) -> int:
     if not args.no_warmup:
         print("warming up (compiling the analysis program)...", file=sys.stderr)
         server.warmup()
+    gateway = None
+    if args.http_port is not None:
+        from bliss_tpu.http_gateway import HttpGateway
+
+        gateway = HttpGateway(server, args.http_port)
+        gateway.start()
+        print(f"http on 127.0.0.1:{gateway.port}", file=sys.stderr)
+    if args.socket is None and args.port is None:
+        # HTTP-only: the gateway thread serves; block until shutdown
+        print("serving (Ctrl-C to stop)", file=sys.stderr)
+        try:
+            server.wait_stopped()
+        except KeyboardInterrupt:
+            pass
+        gateway.stop()
+        return 0
     # bind before announcing so an ephemeral --port 0 prints the REAL port
     try:
         server.bind()
@@ -672,6 +695,9 @@ def cmd_serve(args) -> int:
         server.serve_forever()
     except KeyboardInterrupt:
         server.stop()
+    finally:
+        if gateway is not None:
+            gateway.stop()
     return 0
 
 

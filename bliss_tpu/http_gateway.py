@@ -1,0 +1,174 @@
+"""HTTP front-end for the analysis daemon.
+
+The JSON-lines socket protocol (``bliss_tpu/server.py``) is ideal for
+local shell/Python clients, but production infrastructure — load
+balancers, health checks, monitoring scrapes, non-Python services — talks
+HTTP. This gateway exposes the SAME dispatch table over HTTP, sharing the
+``AnalysisServer`` instance (one warm jit cache, one store, one analysis
+lock) with the socket transport, so both can serve simultaneously from a
+single resident process (``bliss-tpu serve --socket ... --http-port ...``).
+The reference has no serving layer at all (every consumer is one-shot,
+reference: examples/analyze.c:17-46, src/analyze.c:33).
+
+Routes:
+    POST /            body = one request object (same schema as the socket
+                      protocol, e.g. ``{"op": "analyze", "paths": [...]}``)
+                      -> the response object; HTTP status mirrors ``ok``
+                      (200 / 400). Progress events are not streamed over
+                      HTTP; a ``scan`` returns its final summary.
+    GET  /ping        liveness  -> {"ok": true, "pong": true}
+    GET  /status      the status op (readiness + config snapshot)
+    GET  /metrics     Prometheus text exposition of the daemon counters
+                      (bliss_requests_total, bliss_songs_analyzed_total,
+                      bliss_errors_total, bliss_uptime_seconds,
+                      bliss_store_entries)
+
+The ``shutdown`` op is accepted over HTTP and stops BOTH transports.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from bliss_tpu.utils import get_logger, log_event
+
+logger = get_logger("bliss_tpu.http")
+
+_MAX_BODY = 32 << 20  # same defensive cap as the socket transport
+
+
+class HttpGateway:
+    """Serve an ``AnalysisServer``'s dispatch table over HTTP."""
+
+    def __init__(self, server, port: int, host: str = "127.0.0.1"):
+        self.server = server
+        gateway = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            # route table -------------------------------------------------
+            def do_GET(self):  # noqa: N802 (stdlib naming)
+                if self.path == "/ping":
+                    self._reply(200, {"ok": True, "pong": True})
+                elif self.path == "/status":
+                    self._reply(*gateway._run_op({"op": "status"}))
+                elif self.path == "/metrics":
+                    self._reply_text(200, gateway._metrics_text())
+                else:
+                    self._reply(404, {"ok": False, "error": "not found"})
+
+            def do_POST(self):  # noqa: N802
+                if self.path != "/":
+                    self._reply(404, {"ok": False, "error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    n = -1
+                if n < 0 or n > _MAX_BODY:
+                    self._reply(
+                        413, {"ok": False, "error": "request too large"}
+                    )
+                    return
+                body = self.rfile.read(n)
+                self._reply(*gateway._run_op_bytes(body))
+
+            # plumbing ----------------------------------------------------
+            def _reply(self, code: int, obj: dict) -> None:
+                self._reply_bytes(
+                    code, json.dumps(obj).encode() + b"\n",
+                    "application/json",
+                )
+
+            def _reply_text(self, code: int, text: str) -> None:
+                self._reply_bytes(
+                    code, text.encode(), "text/plain; version=0.0.4"
+                )
+
+            def _reply_bytes(self, code, payload, ctype) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, fmt, *args):  # route to structured log
+                log_event(logger, "http", line=fmt % args)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.timeout = 5
+        self.port = self._httpd.server_address[1]  # resolve port=0
+        self.host = host
+        self._thread: threading.Thread | None = None
+
+    # --- request handling (shares the socket transport's semantics) ------
+
+    def _run_op_bytes(self, body: bytes) -> tuple[int, dict]:
+        try:
+            req = json.loads(body)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as e:
+            return 400, {"ok": False, "error": f"bad request: {e}"}
+        return self._run_op(req)
+
+    def _run_op(self, req: dict) -> tuple[int, dict]:
+        # _handle_line applies counting, error isolation and id passthrough;
+        # conn=None drops progress events (not streamable over plain HTTP)
+        resp = self.server._handle_line(json.dumps(req).encode(), None)
+        if resp.get("ok") and req.get("op") == "shutdown":
+            self.stop_soon()  # stop the HTTP listener too
+        return (200 if resp.get("ok") else 400), resp
+
+    def _metrics_text(self) -> str:
+        c = self.server._counters
+        lines = [
+            "# HELP bliss_requests_total Requests handled (all transports).",
+            "# TYPE bliss_requests_total counter",
+            f"bliss_requests_total {c['requests']}",
+            "# HELP bliss_songs_analyzed_total Songs analyzed.",
+            "# TYPE bliss_songs_analyzed_total counter",
+            f"bliss_songs_analyzed_total {c['songs_analyzed']}",
+            "# HELP bliss_errors_total Failed requests.",
+            "# TYPE bliss_errors_total counter",
+            f"bliss_errors_total {c['errors']}",
+            "# HELP bliss_uptime_seconds Seconds since daemon start.",
+            "# TYPE bliss_uptime_seconds gauge",
+            f"bliss_uptime_seconds {time.time() - self.server._t0:.1f}",
+        ]
+        if self.server.store is not None:
+            lines += [
+                "# HELP bliss_store_entries Feature-store entries resident.",
+                "# TYPE bliss_store_entries gauge",
+                f"bliss_store_entries {len(self.server.store)}",
+            ]
+        return "\n".join(lines) + "\n"
+
+    # --- lifecycle --------------------------------------------------------
+
+    def start(self) -> None:
+        """Serve in a daemon thread until ``stop()`` (or a shutdown op)."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        log_event(logger, "http serving", at=f"{self.host}:{self.port}")
+
+    def stop_soon(self) -> None:
+        """Initiate shutdown without joining (callable from a handler)."""
+        self.server.stop()
+        threading.Thread(target=self._httpd.shutdown, daemon=True).start()
+
+    def stop(self) -> None:
+        self.server.stop()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+        if self.server.store is not None:
+            # an HTTP-only daemon has no serve_forever finally-flush
+            self.server.store.flush()

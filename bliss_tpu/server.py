@@ -85,8 +85,10 @@ class AnalysisServer:
         batch_size: int = 64,
         mesh=None,
     ):
-        if (socket_path is None) == (port is None):
-            raise ValueError("pass exactly one of socket_path / port")
+        if socket_path is not None and port is not None:
+            raise ValueError("pass at most one of socket_path / port")
+        # both None is allowed: an HTTP-only deployment wraps this server
+        # with http_gateway.HttpGateway and never calls serve_forever()
         if cfg is None:
             from bliss_tpu.api import default_config
 
@@ -108,6 +110,11 @@ class AnalysisServer:
     # --- transport ----------------------------------------------------------
 
     def _bind(self) -> socket.socket:
+        if self.socket_path is None and self.port is None:
+            raise RuntimeError(
+                "no socket transport configured (HTTP-only server); "
+                "pass socket_path= or port= to serve the line protocol"
+            )
         if self.socket_path is not None:
             if not hasattr(socket, "AF_UNIX"):  # pragma: no cover
                 raise RuntimeError(
@@ -210,6 +217,10 @@ class AnalysisServer:
 
     def stop(self) -> None:
         self._stop.set()
+
+    def wait_stopped(self, timeout: float | None = None) -> bool:
+        """Block until ``stop()`` / a shutdown op (HTTP-only run loops)."""
+        return self._stop.wait(timeout)
 
     def wait_ready(self, timeout: float = 60.0) -> bool:
         """Block until the listener is bound (for tests / supervisors)."""

@@ -480,3 +480,123 @@ def test_daemon_with_mesh_matches_unsharded(served, tmp_path):
         meshed.stop()
         t.join(timeout=60)
         assert not t.is_alive()
+
+
+# --- HTTP gateway -----------------------------------------------------------
+
+
+@pytest.fixture
+def http_served(tmp_path):
+    """AnalysisServer with an HTTP gateway on an ephemeral port (HTTP-only:
+    no line-protocol listener)."""
+    from bliss_tpu.http_gateway import HttpGateway
+
+    store = FeatureStore(str(tmp_path / "store"))
+    server = AnalysisServer(port=None, socket_path=None, store=store,
+                            batch_size=8)
+    gw = HttpGateway(server, port=0)
+    gw.start()
+    yield server, gw, store, tmp_path
+    gw.stop()
+
+
+def _http(method, port, path, body=None, timeout=300):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=None if body is None else json.dumps(body).encode(),
+        method=method,
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, r.read(), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_http_ping_status_metrics(http_served):
+    server, gw, store, tmp = http_served
+    code, body, _ = _http("GET", gw.port, "/ping")
+    assert code == 200 and json.loads(body) == {"ok": True, "pong": True}
+
+    code, body, _ = _http("GET", gw.port, "/status")
+    st = json.loads(body)
+    assert code == 200 and st["ok"] and st["backend"] == "cpu"
+
+    code, body, hdrs = _http("GET", gw.port, "/metrics")
+    assert code == 200 and hdrs["Content-Type"].startswith("text/plain")
+    text = body.decode()
+    assert "bliss_requests_total" in text
+    assert "bliss_store_entries 0" in text
+
+    code, body, _ = _http("GET", gw.port, "/nope")
+    assert code == 404
+
+
+def test_http_analyze_and_errors(http_served):
+    server, gw, store, tmp = http_served
+    a = _write_wav(tmp / "a.wav", freq=600.0)
+    code, body, _ = _http("POST", gw.port, "/",
+                          {"op": "analyze", "paths": [a]})
+    r = json.loads(body)
+    assert code == 200 and r["ok"] and len(r["features"][a]) == 4
+    assert len(store) == 1
+
+    # request-level errors map to HTTP 400 with the error payload
+    code, body, _ = _http("POST", gw.port, "/", {"op": "no_such"})
+    r = json.loads(body)
+    assert code == 400 and not r["ok"] and "unknown op" in r["error"]
+
+    code, body, _ = _http("POST", gw.port, "/",
+                          {"op": "analyze", "paths": []})
+    assert code == 400
+
+    # counters moved
+    code, body, _ = _http("GET", gw.port, "/metrics")
+    text = body.decode()
+    assert "bliss_songs_analyzed_total 1" in text
+    assert "bliss_store_entries 1" in text
+
+
+def test_http_shutdown_stops_gateway(tmp_path):
+    from bliss_tpu.http_gateway import HttpGateway
+
+    server = AnalysisServer(port=None, socket_path=None)
+    gw = HttpGateway(server, port=0)
+    gw.start()
+    code, body, _ = _http("POST", gw.port, "/", {"op": "shutdown"})
+    assert code == 200 and json.loads(body)["stopping"]
+    assert server.wait_stopped(30)
+    gw.stop()  # idempotent
+
+
+def test_http_alongside_socket_transport(tmp_path):
+    """Both transports on ONE server share the store, counters and lock."""
+    from bliss_tpu.http_gateway import HttpGateway
+
+    sock = str(tmp_path / "s.sock")
+    store = FeatureStore(str(tmp_path / "store"))
+    server = AnalysisServer(sock, store=store, batch_size=8)
+    gw = HttpGateway(server, port=0)
+    gw.start()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    assert server.wait_ready(30)
+    try:
+        a = _write_wav(tmp_path / "a.wav", freq=700.0)
+        assert request({"op": "analyze", "paths": [a]}, sock)["ok"]
+        code, body, _ = _http("POST", gw.port, "/",
+                              {"op": "analyze", "paths": [a]})
+        r = json.loads(body)
+        assert code == 200 and r["ok"]
+        # served from the same warm store (no second entry)
+        assert len(store) == 1
+        code, body, _ = _http("GET", gw.port, "/metrics")
+        assert "bliss_requests_total 2" in body.decode()
+    finally:
+        gw.stop()
+        server.stop()
+        t.join(timeout=30)
+        assert not t.is_alive()
