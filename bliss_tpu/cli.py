@@ -672,7 +672,10 @@ def cmd_serve(args) -> int:
     if args.http_port is not None:
         from bliss_tpu.http_gateway import HttpGateway
 
-        gateway = HttpGateway(server, args.http_port)
+        try:
+            gateway = HttpGateway(server, args.http_port)
+        except OSError as e:
+            raise SystemExit(f"serve: --http-port {args.http_port}: {e}")
         gateway.start()
         print(f"http on 127.0.0.1:{gateway.port}", file=sys.stderr)
     if args.socket is None and args.port is None:

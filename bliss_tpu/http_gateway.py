@@ -165,10 +165,12 @@ class HttpGateway:
 
     def stop(self) -> None:
         self.server.stop()
-        self._httpd.shutdown()
-        self._httpd.server_close()
         if self._thread is not None:
+            # shutdown() blocks on serve_forever's exit handshake, so it
+            # must only run if start() actually started the loop
+            self._httpd.shutdown()
             self._thread.join(timeout=30)
+        self._httpd.server_close()
         if self.server.store is not None:
             # an HTTP-only daemon has no serve_forever finally-flush
             self.server.store.flush()

@@ -600,3 +600,14 @@ def test_http_alongside_socket_transport(tmp_path):
         server.stop()
         t.join(timeout=30)
         assert not t.is_alive()
+
+
+def test_http_gateway_stop_without_start():
+    """stop() on a constructed-but-never-started gateway must not hang on
+    the serve_forever shutdown handshake."""
+    from bliss_tpu.http_gateway import HttpGateway
+
+    server = AnalysisServer(port=None, socket_path=None)
+    gw = HttpGateway(server, port=0)
+    gw.stop()  # must return promptly
+    assert server.wait_stopped(5)
