@@ -14,8 +14,13 @@ Routes:
     POST /            body = one request object (same schema as the socket
                       protocol, e.g. ``{"op": "analyze", "paths": [...]}``)
                       -> the response object; HTTP status mirrors ``ok``
-                      (200 / 400). Progress events are not streamed over
-                      HTTP; a ``scan`` returns its final summary.
+                      (200 / 400). With ``"progress": true`` in the body
+                      the response is a chunked ``application/x-ndjson``
+                      stream: interleaved ``{"event": "progress", ...}``
+                      lines followed by the final response object (always
+                      HTTP 200 — inspect the last line's ``ok``); same
+                      event shapes as the socket transport. ``curl -sN``
+                      renders the stream live.
     GET  /ping        liveness  -> {"ok": true, "pong": true}
     GET  /status      the status op (readiness + config snapshot)
     GET  /metrics     Prometheus text exposition of the daemon counters
@@ -75,7 +80,48 @@ class HttpGateway:
                     )
                     return
                 body = self.rfile.read(n)
-                self._reply(*gateway._run_op_bytes(body))
+                try:
+                    req = json.loads(body)
+                    if not isinstance(req, dict):
+                        raise ValueError("request must be a JSON object")
+                except ValueError as e:
+                    self._reply(
+                        400, {"ok": False, "error": f"bad request: {e}"}
+                    )
+                    return
+                if req.get("progress"):
+                    self._stream(req)
+                else:
+                    self._reply(*gateway._run_op(req))
+
+            def _stream(self, req: dict) -> None:
+                """Chunked NDJSON: progress event lines, then the final
+                response object. The status line goes out before the op
+                runs, so it is always 200; clients read ``ok`` off the
+                last line (mirrors the socket protocol's line semantics).
+                """
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def send(obj: dict) -> bool:
+                    data = json.dumps(obj).encode() + b"\n"
+                    try:
+                        self.wfile.write(
+                            b"%x\r\n%s\r\n" % (len(data), data)
+                        )
+                        self.wfile.flush()
+                        return True
+                    except OSError:
+                        return False
+
+                resp = gateway._run_op(req, send)[1]
+                send(resp)
+                try:
+                    self.wfile.write(b"0\r\n\r\n")  # chunked terminator
+                except OSError:
+                    pass
 
             # plumbing ----------------------------------------------------
             def _reply(self, code: int, obj: dict) -> None:
@@ -107,19 +153,11 @@ class HttpGateway:
 
     # --- request handling (shares the socket transport's semantics) ------
 
-    def _run_op_bytes(self, body: bytes) -> tuple[int, dict]:
-        try:
-            req = json.loads(body)
-            if not isinstance(req, dict):
-                raise ValueError("request must be a JSON object")
-        except ValueError as e:
-            return 400, {"ok": False, "error": f"bad request: {e}"}
-        return self._run_op(req)
-
-    def _run_op(self, req: dict) -> tuple[int, dict]:
+    def _run_op(self, req: dict, send=None) -> tuple[int, dict]:
         # _handle_line applies counting, error isolation and id passthrough;
-        # conn=None drops progress events (not streamable over plain HTTP)
-        resp = self.server._handle_line(json.dumps(req).encode(), None)
+        # ``send`` (the chunked NDJSON writer for streamed requests, None
+        # for plain ones) receives intermediate progress events
+        resp = self.server._handle_line(json.dumps(req).encode(), send)
         if resp.get("ok") and req.get("op") == "shutdown":
             self.stop_soon()  # stop the HTTP listener too
         return (200 if resp.get("ok") else 400), resp

@@ -252,7 +252,9 @@ class AnalysisServer:
                     line, buf = buf.split(b"\n", 1)
                     if not line.strip():
                         continue
-                    resp = self._handle_line(line, conn)
+                    resp = self._handle_line(
+                        line, lambda obj: self._send(conn, obj)
+                    )
                     if not self._send(conn, resp):
                         return
                     if self._stop.is_set():
@@ -268,7 +270,14 @@ class AnalysisServer:
 
     # --- request handling ---------------------------------------------------
 
-    def _handle_line(self, line: bytes, conn: socket.socket | None = None) -> dict:
+    def _handle_line(self, line: bytes, send=None) -> dict:
+        """Handle one request line; returns the response object.
+
+        ``send`` is an optional transport-agnostic event sink
+        ``(dict) -> bool`` (False = client gone) used for intermediate
+        progress events — a socket writer here, a chunked HTTP writer in
+        ``http_gateway.HttpGateway``.
+        """
         try:
             req = json.loads(line)
             if not isinstance(req, dict):
@@ -285,10 +294,10 @@ class AnalysisServer:
 
         def emit(obj: dict) -> None:
             """Intermediate event line (no 'ok' key => not the response)."""
-            if conn is not None and not broken[0]:
+            if send is not None and not broken[0]:
                 if rid is not None:
                     obj = {**obj, "id": rid}
-                if not self._send(conn, obj):
+                if not send(obj):
                     broken[0] = True
 
         try:

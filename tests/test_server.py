@@ -602,6 +602,54 @@ def test_http_alongside_socket_transport(tmp_path):
         assert not t.is_alive()
 
 
+def test_http_scan_streams_progress(http_served):
+    """POST / with progress:true streams chunked NDJSON: interleaved
+    progress events, then the final response (always HTTP 200)."""
+    import urllib.request
+
+    server, gw, store, tmp = http_served
+    lib = tmp / "lib"
+    lib.mkdir()
+    for i in range(3):
+        _write_wav(lib / f"s{i}.wav", freq=300.0 + 90 * i)
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{gw.port}/",
+        data=json.dumps(
+            {"op": "scan", "dir": str(lib), "progress": True, "id": 5}
+        ).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        assert r.headers.get("Content-Length") is None  # chunked
+        lines = [json.loads(l) for l in r.read().splitlines() if l.strip()]
+
+    final = lines[-1]
+    events = lines[:-1]
+    assert final["ok"] and final["analyzed"] == 3 and final["id"] == 5
+    assert len(events) >= 1  # progress is per finalized batch
+    assert all(e["event"] == "progress" and e["id"] == 5 for e in events)
+    assert events[-1]["done"] == events[-1]["total"] == 3
+    assert len(store) == 3
+
+
+def test_http_streamed_error_is_last_line(http_served):
+    """A failing streamed request still returns HTTP 200 (status already
+    sent); the error rides the final NDJSON line."""
+    server, gw, store, tmp = http_served
+    code, body, hdrs = _http(
+        "POST", gw.port, "/",
+        {"op": "scan", "dir": str(tmp / "missing"), "progress": True},
+    )
+    assert code == 200
+    assert hdrs["Content-Type"] == "application/x-ndjson"
+    lines = [json.loads(l) for l in body.splitlines() if l.strip()]
+    assert len(lines) == 1 and not lines[0]["ok"]
+    assert "scan needs a 'dir'" in lines[0]["error"]
+
+
 def test_http_gateway_stop_without_start():
     """stop() on a constructed-but-never-started gateway must not hang on
     the serve_forever shutdown handshake."""
