@@ -288,7 +288,11 @@ def _pass2_chunk(
         tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps, cfg.filterbank),
         dtype,
     )
-    delta = jnp.einsum("wk,njk->nwj", hist, M)
+    # HIGHEST: see kernels/fused_all.py — the correction must cancel the
+    # conv's history tail to f32 accuracy on TPU.
+    delta = jnp.einsum(
+        "wk,njk->nwj", hist, M, precision=jax.lax.Precision.HIGHEST
+    )
     altK = alt[:K]
     d_s2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
     d_s1 = jnp.sum(delta, axis=-1)

@@ -135,7 +135,12 @@ def _window_energy_blocked(norm: jnp.ndarray, fb, cfg: AnalysisConfig):
     M = jnp.asarray(
         tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps, cfg.filterbank), dtype
     )
-    delta = jnp.einsum("bwk,njk->bnwj", hist, M)
+    # HIGHEST: delta must cancel z's history tail to f32 accuracy on TPU
+    # (the default f32 einsum truncates to bf16 passes; see
+    # kernels/fused_all.py for the failure mode).
+    delta = jnp.einsum(
+        "bwk,njk->bnwj", hist, M, precision=jax.lax.Precision.HIGHEST
+    )
     altK = alt[:K]
     d_s2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
     d_s1 = jnp.sum(delta, axis=-1)

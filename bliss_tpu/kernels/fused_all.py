@@ -172,10 +172,17 @@ def _kernel(
     sa = jnp.sum(z * altB, axis=1)
     hist = xcat[:, :k] * alpha + beta  # normalized history
     zh = z[:, :k]
+    # HIGHEST is load-bearing: Mosaic's default f32 dot truncates to bf16
+    # passes (~2^-11 relative), and delta must cancel z's history tail to
+    # f32 accuracy — at LOW precision a loud->silence window boundary
+    # leaves ~0.7 spurious energy where the reference computes 0, which
+    # log-compression turns into a phantom envelope peak (wrong beat
+    # count / attack). The 16x16 matmul is far off the critical path.
     delta = jax.lax.dot_general(
         hist, warm_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d1 = jnp.sum(delta, axis=1)
     d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=1)

@@ -170,6 +170,10 @@ def _kernel(
         hist, warm_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST is load-bearing (see kernels/fused_all.py): delta must
+        # cancel z's history tail to f32 accuracy; Mosaic's default bf16
+        # passes leave spurious energy in silence-boundary windows.
+        precision=jax.lax.Precision.HIGHEST,
     )  # [NBLK, k]
     altK = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (NBLK, k), 1) % 2 == 0, 1.0, -1.0

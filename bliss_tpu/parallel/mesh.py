@@ -332,7 +332,12 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
                 tables.fir_warmup_correction(cfg.nb_bands, cfg.band_taps, cfg.filterbank),
                 dtype,
             )
-            delta = jnp.einsum("bwk,njk->bnwj", hist, Mw)
+            # HIGHEST: see kernels/fused_all.py — the correction must
+            # cancel the conv's history tail to f32 accuracy on TPU.
+            delta = jnp.einsum(
+                "bwk,njk->bnwj", hist, Mw,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             d1 = jnp.sum(delta, axis=-1)
             d2 = jnp.sum(2.0 * zh * delta + delta * delta, axis=-1)
             da = jnp.sum(delta * alt[:K], axis=-1)

@@ -6,7 +6,7 @@ beat trains, sweeps, silence gaps), writes them as FLAC, analyzes each with
 the reference binary (baseline/build/analyze) and with bliss-tpu's float64
 parity mode, and reports the deviation distribution per feature.
 
-Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact|streaming|streaming_strict]
+Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact|streaming|streaming_strict] [cpu|tpu]
 
 "parity" (default) compares the float64 parity mode (expected deviation
 ~1e-5). "hybrid" compares the fused-kernel configuration with the host
@@ -19,6 +19,15 @@ songs (2-7 minutes) and runs them through the chunked fixed-shape path
 production — under the same beat-exact gate. "streaming_strict" runs
 the same long songs through the streamed STRICT-parity config (float64,
 iterative amplitude, fft_strict) — expected at the parity gate (~1e-5).
+
+The third argument picks the JAX backend: "cpu" (default — pins the CPU
+backend, enables x64) or "tpu" (leaves the default device active; only
+the all-f32 production modes `device_exact`/`hybrid` are allowed, since
+float64 hangs the axon TPU at compile). The tpu backend validates the
+double-single arithmetic under the REAL Mosaic/XLA:TPU compilation —
+fma availability and fusion orders differ from CPU, so CPU fuzz results
+do not transfer automatically. Songs run batched (fixed [16, Lmax]
+shape = one device compile) instead of per-case.
 """
 
 import sys, os
@@ -62,11 +71,19 @@ def random_song(rng, seconds, sr=22050):
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
+    backend = sys.argv[3] if len(sys.argv) > 3 else "cpu"
     if mode not in ("parity", "hybrid", "device_exact", "streaming",
                     "streaming_strict"):
         raise SystemExit(
             f"unknown mode {mode!r}: use 'parity', 'hybrid', "
             "'device_exact', 'streaming', or 'streaming_strict'"
+        )
+    if backend not in ("cpu", "tpu"):
+        raise SystemExit(f"unknown backend {backend!r}: use 'cpu' or 'tpu'")
+    if backend == "tpu" and mode not in ("device_exact", "hybrid"):
+        raise SystemExit(
+            "backend 'tpu' supports only the f32 production modes "
+            "'device_exact' and 'hybrid' (float64 modes hang the TPU)"
         )
     if not os.path.exists(os.path.join(BUILD, "analyze")):
         subprocess.run(
@@ -77,8 +94,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     from bliss_tpu.config import AnalysisConfig
     from bliss_tpu.features import PCMBatch, analyze_batch_jit
     from bliss_tpu.features.analyze import analyze_batch_hybrid
@@ -105,6 +123,75 @@ def main():
     else:
         cfg = AnalysisConfig.for_parity()
     rng = np.random.RandomState(1234)
+
+    if backend == "tpu":
+        dev0 = jax.devices()[0]
+        print(f"backend: {dev0.platform} ({dev0.device_kind})")
+        # Phase 1 (host): generate songs, run the reference binary, decode.
+        cases = []  # (case index, duration, samples, reference vector)
+        with tempfile.TemporaryDirectory() as tmp:
+            for i in range(n_cases):
+                sr = 22050 if i % 4 == 0 else [44100, 48000, 32000][(i % 4) - 1]
+                frames = random_song(rng, int(rng.randint(3, 9)), sr=sr)
+                path = os.path.join(tmp, f"fuzz{i}.flac")
+                write_flac(path, frames, sr)
+                out = subprocess.run(
+                    [os.path.join(BUILD, "analyze"), path],
+                    capture_output=True, text=True, env=env, timeout=300,
+                ).stdout
+                m = re.search(
+                    r"Force vector: \(([-\d.]+), ([-\d.]+), ([-\d.]+), "
+                    r"([-\d.]+)\)",
+                    out,
+                )
+                if not m:
+                    print(f"case {i}: reference failed to analyze")
+                    continue
+                ref = np.array([float(m.group(k)) for k in range(1, 5)])
+                d = decode(path)
+                cases.append((i, d.duration, np.asarray(d.samples), ref))
+        # Phase 2 (device): fixed [B, L] batches -> ONE compiled shape
+        # (tunnel compiles are 5-400 s each; per-case shapes would take
+        # hours). L is the production bucket for the longest song.
+        from bliss_tpu.pipeline import _bucket_length
+
+        B = 16
+        L = _bucket_length(max(c[2].shape[0] for c in cases),
+                           cfg.pad_multiple)
+        fn = analyze_batch_hybrid if mode == "hybrid" else analyze_batch_jit
+        print(f"analyzing {len(cases)} songs on device, "
+              f"batches of {B} at L={L}")
+        ours_all = {}
+        for b0 in range(0, len(cases), B):
+            chunk = cases[b0:b0 + B]
+            arrays = [c[2] for c in chunk]
+            durs = [c[1] for c in chunk]
+            while len(arrays) < B:  # keep the batch shape fixed
+                arrays.append(arrays[-1])
+                durs.append(durs[-1])
+            batch = PCMBatch.from_arrays(arrays, durs, pad_multiple=L)
+            res = np.asarray(fn(batch, cfg))
+            for j, c in enumerate(chunk):
+                ours_all[c[0]] = res[j]
+        devs = []
+        n_divergent = 0
+        gate = 5e-4 * 2
+        for i, duration, _, ref in cases:
+            dev = np.abs(ours_all[i] - ref)
+            devs.append(dev)
+            beat_dev = dev[0] * duration / 4.0
+            divergent = beat_dev > 0.01 or dev[1:].max() > gate
+            n_divergent += divergent
+            flag = " <-- DIVERGENT" if divergent else ""
+            print(f"case {i:3d}: dev tempo={dev[0]:.2e} amp={dev[1]:.2e} "
+                  f"freq={dev[2]:.2e} atk={dev[3]:.2e}{flag}")
+        devs = np.array(devs)
+        print(f"\n{len(devs)} cases on {dev0.platform}; "
+              f"divergent: {n_divergent}")
+        print(f"max deviation per feature "
+              f"(tempo, amplitude, frequency, attack): {devs.max(axis=0)}")
+        return
+
     devs = []
     n_divergent = 0
     n_marginal = 0
