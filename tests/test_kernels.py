@@ -367,3 +367,77 @@ def test_single_pass_multiband(batch):
     one = np.asarray(jax.jit(lambda b: analyze_batch(b, cfg1))(batch))
     np.testing.assert_allclose(one[:, 1:], two[:, 1:], atol=1e-3)
     assert np.abs(one[:, 0] - two[:, 0]).max() < 1.0
+
+
+def _collect_dot_generals(jx, out):
+    for eq in jx.eqns:
+        if eq.primitive.name == "dot_general":
+            out.append(eq)
+        for v in eq.params.values():
+            if hasattr(v, "eqns"):
+                _collect_dot_generals(v, out)
+            elif hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+                _collect_dot_generals(v.jaxpr, out)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        AnalysisConfig.for_tpu(),
+        AnalysisConfig(
+            dtype="float32", amplitude_mode="poly", fused_kernel=True,
+            single_pass=False,
+        ),
+        AnalysisConfig(dtype="float32", fused_kernel=False),
+    ],
+    ids=["single_pass", "two_kernel", "no_kernel"],
+)
+def test_no_low_precision_f32_contractions(cfg, batch):
+    """Every f32xf32 dot_general in the traced analysis program must run
+    at Precision.HIGHEST: on TPU the default f32 matmul truncates to bf16
+    passes (~2^-11), and the FIR warm-up delta must cancel the conv's
+    history tail to f32 accuracy — at default precision a loud->silence
+    window boundary keeps ~0.7 spurious energy that log-compression turns
+    into a phantom envelope peak (±1-beat flips, found by the real-device
+    differential fuzz). bf16-split matmuls are exempt: their operand
+    split makes DEFAULT exact by construction."""
+    jaxpr = jax.make_jaxpr(lambda b: analyze_batch(b, cfg))(batch)
+    eqs = []
+    _collect_dot_generals(jaxpr.jaxpr, eqs)
+    assert eqs, "expected contractions in the traced program"
+    offenders = []
+    for eq in eqs:
+        dts = {x.aval.dtype for x in eq.invars}
+        if dts == {np.dtype("float32")}:
+            prec = eq.params.get("precision")
+            if prec != (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST):
+                offenders.append(
+                    ([x.aval.shape for x in eq.invars], prec)
+                )
+    assert not offenders, f"f32 dots below HIGHEST: {offenders}"
+
+
+def test_streaming_no_low_precision_f32_contractions():
+    """Same invariant over the streaming pass-2 chunk program (its FIR
+    warm-up delta einsum is a separate code path from the batch one)."""
+    from bliss_tpu.features.streaming import _pass2_chunk
+
+    cfg = AnalysisConfig(dtype="float32")
+    K = cfg.band_taps - 1
+    CH = 8192
+    seg = jnp.zeros((K + CH + C.TEMPO_HOP,), jnp.int16)
+    jaxpr = jax.make_jaxpr(
+        lambda s, b, n, m, v: _pass2_chunk(s, b, n, m, v, cfg)
+    )(
+        seg, jnp.int32(0), jnp.int32(CH),
+        jnp.float32(0.0), jnp.float32(1.0),
+    )
+    eqs = []
+    _collect_dot_generals(jaxpr.jaxpr, eqs)
+    assert eqs, "expected the warm-up delta contraction in the chunk"
+    for eq in eqs:
+        dts = {x.aval.dtype for x in eq.invars}
+        if dts == {np.dtype("float32")}:
+            assert eq.params.get("precision") == (
+                jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST
+            ), eq

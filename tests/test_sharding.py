@@ -234,3 +234,32 @@ def test_sharded_extended_hybrid_fused(batch):
     np.testing.assert_allclose(
         out[:, 4:][:, keep], single_ext[:, keep], rtol=2e-3, atol=1e-3
     )
+
+
+def test_meshed_no_low_precision_f32_contractions():
+    """The meshed shard_map program's FIR warm-up delta einsum (a separate
+    code path from the batch/kernel ones) must run at Precision.HIGHEST:
+    the TPU default truncates f32 dots to bf16 passes, breaking the
+    history-tail cancellation at loud->silence window boundaries (see
+    kernels/fused_all.py)."""
+    from test_kernels import _collect_dot_generals
+    from bliss_tpu.parallel.mesh import _build_sharded_fn
+
+    mesh = analysis_mesh(2, 2, devices=jax.devices()[:4])
+    cfg = AnalysisConfig.for_tpu()
+    fn = _build_sharded_fn(mesh, cfg)
+    # Ls = 16384/2 = 8192 < 65536 keeps the non-fused (einsum) branch
+    s = jnp.zeros((2, 16384), jnp.int16)
+    n = jnp.full((2,), 16384, jnp.int32)
+    dur = jnp.ones((2,), jnp.int32)
+    jaxpr = jax.make_jaxpr(fn)(s, n, dur)
+    eqs = []
+    _collect_dot_generals(jaxpr.jaxpr, eqs)
+    assert eqs, "expected the warm-up delta contraction in the program"
+    import numpy as _np
+    for eq in eqs:
+        dts = {x.aval.dtype for x in eq.invars}
+        if dts == {_np.dtype("float32")}:
+            assert eq.params.get("precision") == (
+                jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST
+            ), eq
