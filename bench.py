@@ -272,6 +272,33 @@ def main() -> None:
             time_budget_s=float(os.environ.get("BENCH_KERNELS_BUDGET", 1200))
         )
 
+    # --- differential fuzz net (real-device numerics gate) ------------------
+    # 16 random songs vs the reference binary ON THIS BACKEND: the golden
+    # gates above only cover the two fixture songs, and CPU-backend fuzzing
+    # computes every f32 dot at full precision, so it cannot catch TPU
+    # default-precision regressions (this net found the warm-up-delta
+    # ±1-beat flips). Error-tolerant: a flaky tunnel or missing baseline
+    # build reports "error: ..." instead of failing the bench. BENCH_FUZZ=0
+    # skips.
+    fuzz = None
+    if os.environ.get("BENCH_FUZZ", "1") != "0":
+        try:
+            from fuzz_differential import run_batched_device_fuzz
+
+            fuzz = run_batched_device_fuzz(
+                n_cases=int(os.environ.get("BENCH_FUZZ_CASES", 16)),
+                verbose=False,
+            )
+            if fuzz["divergent"]:
+                correctness_ok = False
+                print(
+                    f"WARNING: device fuzz divergent: {fuzz}",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # the bench number must survive fuzz infra
+            fuzz = {"error": f"{type(e).__name__}: {e}"}
+            print(f"WARNING: device fuzz errored: {e}", file=sys.stderr)
+
     vs = tpu_songs_per_sec / baseline["cpu_analysis_songs_per_sec"]
     print(
         json.dumps(
@@ -295,6 +322,7 @@ def main() -> None:
                 "e2e": e2e_breakdown,
                 "kernels_ok": kernels["ok"],
                 "kernel_smoke": kernels["results"],
+                "device_fuzz": fuzz,
                 "device": str(jax.devices()[0]),
                 "tempo_err_device_exact": float(err[0]),
                 "max_feature_err_vs_golden": float(err[1:].max()),

@@ -68,6 +68,123 @@ def random_song(rng, seconds, sr=22050):
     return np.stack([left, right], axis=1)
 
 
+def ensure_reference_binary():
+    if not os.path.exists(os.path.join(BUILD, "analyze")):
+        subprocess.run(
+            ["bash", os.path.join(REPO, "baseline", "build_baseline.sh")],
+            check=True,
+        )
+        subprocess.run(["make", "-C", BUILD, "analyze"], check=True)
+
+
+def run_batched_device_fuzz(
+    n_cases: int = 16, mode: str = "device_exact", seed: int = 1234,
+    verbose: bool = True,
+) -> dict:
+    """Differential fuzz of an all-f32 production mode on the CURRENT jax
+    backend, batched to one compiled [16, L] shape (tunnel compiles are
+    5-400 s each; per-case shapes would take hours). Compares against the
+    reference binary run on the host. Also callable from bench.py as a
+    correctness net over random content (the golden gates only cover the
+    two fixture songs). Returns {"cases", "divergent", "max_dev", "mode"}.
+    """
+    assert mode in ("device_exact", "hybrid")
+    ensure_reference_binary()
+
+    import jax
+
+    from bliss_tpu.config import AnalysisConfig
+    from bliss_tpu.features import PCMBatch, analyze_batch_jit
+    from bliss_tpu.features.analyze import analyze_batch_hybrid
+    from bliss_tpu.io import decode
+    from bliss_tpu.io.flac_writer import write_flac
+    from bliss_tpu.pipeline import _bucket_length
+
+    say = print if verbose else (lambda *a, **k: None)
+    env = dict(
+        os.environ,
+        LD_LIBRARY_PATH=(
+            f"{BUILD}:{os.path.join(REPO, 'baseline', 'fftw_shim', 'lib')}"
+        ),
+    )
+    if mode == "hybrid":
+        cfg = AnalysisConfig(
+            dtype="float32", amplitude_mode="poly", fused_kernel=True,
+            tempo_finish="host",
+        )
+    else:
+        cfg = AnalysisConfig.for_tpu()  # the production config, verbatim
+    rng = np.random.RandomState(seed)
+    dev0 = jax.devices()[0]
+    say(f"backend: {dev0.platform} ({dev0.device_kind})")
+
+    # Phase 1 (host): generate songs, run the reference binary, decode.
+    cases = []  # (case index, duration, samples, reference vector)
+    with tempfile.TemporaryDirectory() as tmp:
+        for i in range(n_cases):
+            sr = 22050 if i % 4 == 0 else [44100, 48000, 32000][(i % 4) - 1]
+            frames = random_song(rng, int(rng.randint(3, 9)), sr=sr)
+            path = os.path.join(tmp, f"fuzz{i}.flac")
+            write_flac(path, frames, sr)
+            out = subprocess.run(
+                [os.path.join(BUILD, "analyze"), path],
+                capture_output=True, text=True, env=env, timeout=300,
+            ).stdout
+            m = re.search(
+                r"Force vector: \(([-\d.]+), ([-\d.]+), ([-\d.]+), "
+                r"([-\d.]+)\)",
+                out,
+            )
+            if not m:
+                say(f"case {i}: reference failed to analyze")
+                continue
+            ref = np.array([float(m.group(k)) for k in range(1, 5)])
+            d = decode(path)
+            cases.append((i, d.duration, np.asarray(d.samples), ref))
+
+    # Phase 2 (device): fixed [B, L] batches -> ONE compiled shape.
+    # L is the production bucket for the longest song.
+    B = 16
+    L = _bucket_length(max(c[2].shape[0] for c in cases), cfg.pad_multiple)
+    fn = analyze_batch_hybrid if mode == "hybrid" else analyze_batch_jit
+    say(f"analyzing {len(cases)} songs on device, batches of {B} at L={L}")
+    ours_all = {}
+    for b0 in range(0, len(cases), B):
+        chunk = cases[b0:b0 + B]
+        arrays = [c[2] for c in chunk]
+        durs = [c[1] for c in chunk]
+        while len(arrays) < B:  # keep the batch shape fixed
+            arrays.append(arrays[-1])
+            durs.append(durs[-1])
+        batch = PCMBatch.from_arrays(arrays, durs, pad_multiple=L)
+        res = np.asarray(fn(batch, cfg))
+        for j, c in enumerate(chunk):
+            ours_all[c[0]] = res[j]
+
+    devs = []
+    n_divergent = 0
+    gate = 5e-4 * 2
+    for i, duration, _, ref in cases:
+        dev = np.abs(ours_all[i] - ref)
+        devs.append(dev)
+        beat_dev = dev[0] * duration / 4.0
+        divergent = beat_dev > 0.01 or dev[1:].max() > gate
+        n_divergent += divergent
+        flag = " <-- DIVERGENT" if divergent else ""
+        say(f"case {i:3d}: dev tempo={dev[0]:.2e} amp={dev[1]:.2e} "
+            f"freq={dev[2]:.2e} atk={dev[3]:.2e}{flag}")
+    devs = np.array(devs)
+    say(f"\n{len(devs)} cases on {dev0.platform}; divergent: {n_divergent}")
+    say(f"max deviation per feature "
+        f"(tempo, amplitude, frequency, attack): {devs.max(axis=0)}")
+    return {
+        "cases": len(devs),
+        "divergent": int(n_divergent),
+        "max_dev": [float(v) for v in devs.max(axis=0)],
+        "mode": mode,
+    }
+
+
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
@@ -87,12 +204,7 @@ def main():
             "backend 'tpu' supports only the f32 modes 'device_exact', "
             "'hybrid', and 'streaming' (float64 modes hang the TPU)"
         )
-    if not os.path.exists(os.path.join(BUILD, "analyze")):
-        subprocess.run(
-            ["bash", os.path.join(REPO, "baseline", "build_baseline.sh")],
-            check=True,
-        )
-        subprocess.run(["make", "-C", BUILD, "analyze"], check=True)
+    ensure_reference_binary()
 
     import jax
 
@@ -134,71 +246,7 @@ def main():
         print(f"backend: {dev0.platform} ({dev0.device_kind}), "
               "streaming per-case loop (f64 adjudication unavailable)")
     elif backend == "tpu":
-        dev0 = jax.devices()[0]
-        print(f"backend: {dev0.platform} ({dev0.device_kind})")
-        # Phase 1 (host): generate songs, run the reference binary, decode.
-        cases = []  # (case index, duration, samples, reference vector)
-        with tempfile.TemporaryDirectory() as tmp:
-            for i in range(n_cases):
-                sr = 22050 if i % 4 == 0 else [44100, 48000, 32000][(i % 4) - 1]
-                frames = random_song(rng, int(rng.randint(3, 9)), sr=sr)
-                path = os.path.join(tmp, f"fuzz{i}.flac")
-                write_flac(path, frames, sr)
-                out = subprocess.run(
-                    [os.path.join(BUILD, "analyze"), path],
-                    capture_output=True, text=True, env=env, timeout=300,
-                ).stdout
-                m = re.search(
-                    r"Force vector: \(([-\d.]+), ([-\d.]+), ([-\d.]+), "
-                    r"([-\d.]+)\)",
-                    out,
-                )
-                if not m:
-                    print(f"case {i}: reference failed to analyze")
-                    continue
-                ref = np.array([float(m.group(k)) for k in range(1, 5)])
-                d = decode(path)
-                cases.append((i, d.duration, np.asarray(d.samples), ref))
-        # Phase 2 (device): fixed [B, L] batches -> ONE compiled shape
-        # (tunnel compiles are 5-400 s each; per-case shapes would take
-        # hours). L is the production bucket for the longest song.
-        from bliss_tpu.pipeline import _bucket_length
-
-        B = 16
-        L = _bucket_length(max(c[2].shape[0] for c in cases),
-                           cfg.pad_multiple)
-        fn = analyze_batch_hybrid if mode == "hybrid" else analyze_batch_jit
-        print(f"analyzing {len(cases)} songs on device, "
-              f"batches of {B} at L={L}")
-        ours_all = {}
-        for b0 in range(0, len(cases), B):
-            chunk = cases[b0:b0 + B]
-            arrays = [c[2] for c in chunk]
-            durs = [c[1] for c in chunk]
-            while len(arrays) < B:  # keep the batch shape fixed
-                arrays.append(arrays[-1])
-                durs.append(durs[-1])
-            batch = PCMBatch.from_arrays(arrays, durs, pad_multiple=L)
-            res = np.asarray(fn(batch, cfg))
-            for j, c in enumerate(chunk):
-                ours_all[c[0]] = res[j]
-        devs = []
-        n_divergent = 0
-        gate = 5e-4 * 2
-        for i, duration, _, ref in cases:
-            dev = np.abs(ours_all[i] - ref)
-            devs.append(dev)
-            beat_dev = dev[0] * duration / 4.0
-            divergent = beat_dev > 0.01 or dev[1:].max() > gate
-            n_divergent += divergent
-            flag = " <-- DIVERGENT" if divergent else ""
-            print(f"case {i:3d}: dev tempo={dev[0]:.2e} amp={dev[1]:.2e} "
-                  f"freq={dev[2]:.2e} atk={dev[3]:.2e}{flag}")
-        devs = np.array(devs)
-        print(f"\n{len(devs)} cases on {dev0.platform}; "
-              f"divergent: {n_divergent}")
-        print(f"max deviation per feature "
-              f"(tempo, amplitude, frequency, attack): {devs.max(axis=0)}")
+        run_batched_device_fuzz(n_cases, mode)
         return
 
     devs = []
