@@ -417,6 +417,25 @@ def test_no_low_precision_f32_contractions(cfg, batch):
     assert not offenders, f"f32 dots below HIGHEST: {offenders}"
 
 
+def test_extended_no_low_precision_f32_contractions(batch):
+    """Same invariant over the extended-features program (mel/MFCC/chroma
+    matmuls must stay at HIGHEST — the dB/log stages downstream amplify
+    low-precision spectra)."""
+    from bliss_tpu.features.analyze import analyze_batch_ext_jit
+
+    cfg = AnalysisConfig.for_tpu()
+    jaxpr = jax.make_jaxpr(lambda b: analyze_batch_ext_jit(b, cfg))(batch)
+    eqs = []
+    _collect_dot_generals(jaxpr.jaxpr, eqs)
+    assert eqs
+    for eq in eqs:
+        dts = {x.aval.dtype for x in eq.invars}
+        if dts == {np.dtype("float32")}:
+            assert eq.params.get("precision") == (
+                jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST
+            ), ([x.aval.shape for x in eq.invars], eq.params.get("precision"))
+
+
 def test_streaming_no_low_precision_f32_contractions():
     """Same invariant over the streaming pass-2 chunk program (its FIR
     warm-up delta einsum is a separate code path from the batch one)."""
