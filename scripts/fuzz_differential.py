@@ -22,12 +22,15 @@ iterative amplitude, fft_strict) — expected at the parity gate (~1e-5).
 
 The third argument picks the JAX backend: "cpu" (default — pins the CPU
 backend, enables x64) or "tpu" (leaves the default device active; only
-the all-f32 production modes `device_exact`/`hybrid` are allowed, since
+the all-f32 modes `device_exact`/`hybrid`/`streaming` are allowed, since
 float64 hangs the axon TPU at compile). The tpu backend validates the
-double-single arithmetic under the REAL Mosaic/XLA:TPU compilation —
-fma availability and fusion orders differ from CPU, so CPU fuzz results
-do not transfer automatically. Songs run batched (fixed [16, Lmax]
-shape = one device compile) instead of per-case.
+numerics under the REAL Mosaic/XLA:TPU compilation — default matmul
+precision, fma availability and fusion orders differ from CPU, so CPU
+fuzz results do not transfer automatically (this caught the LOW-precision
+warm-up-delta ±1-beat flips). device_exact/hybrid run batched (fixed
+[16, Lmax] shape = one device compile); streaming uses the per-case
+chunked loop (already one compiled shape per chunk program). bench.py
+calls run_batched_device_fuzz() as its per-run correctness net.
 """
 
 import sys, os
