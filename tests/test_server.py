@@ -659,3 +659,37 @@ def test_http_gateway_stop_without_start():
     gw = HttpGateway(server, port=0)
     gw.stop()  # must return promptly
     assert server.wait_stopped(5)
+
+
+def test_http_stream_client_disconnect_mid_scan(http_served):
+    """A client that drops the connection mid-stream must not wedge or
+    kill the daemon: the scan finishes, later events are dropped, and the
+    gateway keeps serving."""
+    import urllib.request
+
+    server, gw, store, tmp = http_served
+    lib = tmp / "lib2"
+    lib.mkdir()
+    for i in range(5):
+        _write_wav(lib / f"s{i}.wav", freq=320.0 + 70 * i)
+
+    body = json.dumps(
+        {"op": "scan", "dir": str(lib), "progress": True}
+    ).encode()
+    s = socket.create_connection(("127.0.0.1", gw.port), timeout=30)
+    s.sendall(
+        b"POST / HTTP/1.1\r\nHost: x\r\nContent-Length: "
+        + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    s.recv(1)  # wait for the status line to start, then vanish
+    s.close()
+
+    # the daemon must finish the scan (store fills) and stay responsive
+    deadline = 60
+    import time as _t
+    t0 = _t.time()
+    while len(store) < 5 and _t.time() - t0 < deadline:
+        _t.sleep(0.5)
+    assert len(store) == 5
+    code, body2, _ = _http("GET", gw.port, "/ping")
+    assert code == 200 and json.loads(body2)["pong"]
