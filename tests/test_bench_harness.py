@@ -1,0 +1,251 @@
+"""The bench flake-hardening harness: retry classification/backoff, the
+per-stage checkpoint, degraded JSON assembly, and a simulated
+backend-init-failure path.
+
+Round 3's driver bench capture died with rc=1 because one device_put hit
+the tunnel's UNAVAILABLE window (BENCH_r03.json); these tests pin the
+round-4 guarantee that bench.py retries transient failures, resumes from
+its checkpoint, and ALWAYS emits a parseable JSON line.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# --- retry classification + loop -------------------------------------------
+
+
+def test_retry_recovers_from_transient(bench):
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE"
+            )
+        return "ok"
+
+    assert bench._retry(flaky, "t", attempts=5, backoff_s=0) == "ok"
+    assert len(calls) == 3
+
+
+def test_retry_raises_after_exhaustion(bench):
+    calls = []
+
+    def always_down():
+        calls.append(1)
+        raise RuntimeError("UNAVAILABLE: tunnel")
+
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        bench._retry(always_down, "t", attempts=3, backoff_s=0)
+    assert len(calls) == 3
+
+
+def test_retry_does_not_mask_real_bugs(bench):
+    calls = []
+
+    def buggy():
+        calls.append(1)
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        bench._retry(buggy, "t", attempts=5, backoff_s=0)
+    assert len(calls) == 1  # non-transient: no retry
+
+
+def test_transient_classifier(bench):
+    assert bench._is_transient(RuntimeError("UNAVAILABLE: backend"))
+    assert bench._is_transient(OSError("Socket closed mid-write"))
+    assert bench._is_transient(
+        RuntimeError("DEADLINE_EXCEEDED: compile timed out")
+    )
+    assert not bench._is_transient(AssertionError("golden mismatch"))
+    assert not bench._is_transient(KeyError("stage"))
+
+
+# --- checkpoint --------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip_and_resume(bench, tmp_path):
+    p = str(tmp_path / "ckpt.json")
+    c1 = bench.Checkpoint(p, "sig-a")
+    assert not c1.has("throughput")
+    c1.put("throughput", {"songs_per_sec": 21000.0})
+
+    # a fresh process (same signature) resumes the completed stage
+    c2 = bench.Checkpoint(p, "sig-a")
+    assert c2.has("throughput")
+    assert c2.get("throughput") == {"songs_per_sec": 21000.0}
+
+    # a code/param change invalidates it
+    c3 = bench.Checkpoint(p, "sig-b")
+    assert not c3.has("throughput")
+
+    c2.clear()
+    assert not os.path.exists(p)
+
+
+def test_checkpoint_records_errors_without_masking(bench, tmp_path):
+    p = str(tmp_path / "ckpt.json")
+    c = bench.Checkpoint(p, "sig")
+    c.put_error("e2e", RuntimeError("UNAVAILABLE"))
+    assert not c.has("e2e")  # an errored stage re-runs on resume
+    assert "UNAVAILABLE" in c.error("e2e")
+
+
+def test_run_stage_reuses_checkpoint_and_records_failure(
+    bench, tmp_path, monkeypatch
+):
+    monkeypatch.setenv("BENCH_RETRIES", "2")
+    monkeypatch.setenv("BENCH_BACKOFF_S", "0")
+    c = bench.Checkpoint(str(tmp_path / "c.json"), "s")
+    calls = []
+
+    def stage():
+        calls.append(1)
+        return 42
+
+    assert bench.run_stage(c, "x", stage) == 42
+    assert bench.run_stage(c, "x", stage) == 42  # checkpoint hit
+    assert len(calls) == 1
+
+    def down():
+        raise RuntimeError("UNAVAILABLE")
+
+    assert bench.run_stage(c, "y", down) is None
+    assert "UNAVAILABLE" in c.error("y")
+
+
+# --- simulated backend-init failure: the retry path ------------------------
+
+
+def test_device_ctx_init_retries_through_unavailable_window(
+    bench, monkeypatch
+):
+    """The exact round-3 failure: backend init raises UNAVAILABLE a few
+    times, then the window clears. The acquisition path in main() —
+    _retry(_ctx) — must land on the working backend."""
+    attempts = []
+
+    class FakeCtx:
+        def __init__(self):
+            attempts.append(1)
+            if len(attempts) < 3:
+                raise RuntimeError(
+                    "Unable to initialize backend 'axon': UNAVAILABLE: "
+                    "TPU backend setup/compile error (Unavailable)."
+                )
+            self.device = "TPU_0"
+
+    monkeypatch.setattr(bench, "DeviceCtx", FakeCtx)
+    monkeypatch.setattr(bench, "_CTX", None)
+    ctx = bench._retry(bench._ctx, "backend acquisition", attempts=5,
+                       backoff_s=0)
+    assert ctx.device == "TPU_0"
+    assert len(attempts) == 3
+    monkeypatch.setattr(bench, "_CTX", None)
+
+
+# --- degraded JSON assembly --------------------------------------------------
+
+
+def test_assemble_json_degrades_without_device(bench):
+    """Backend never came up: the line still parses, marked degraded."""
+    out = bench.assemble_json(
+        baseline={"cpu_analysis_songs_per_sec": 20.0,
+                  "cpu_e2e_songs_per_sec": 18.0},
+        correctness=None, throughput=None, hybrid=None, e2e=None,
+        kernels=None, fuzz=None,
+        errors={"backend": "RuntimeError: UNAVAILABLE"},
+    )
+    line = json.dumps(out)
+    parsed = json.loads(line)
+    assert parsed["value"] == 0.0
+    assert parsed["vs_baseline"] == 0.0
+    assert parsed["device"] == "unavailable"
+    assert parsed["correctness_ok"] is False
+    assert "backend" in parsed["errors"]
+
+
+def test_assemble_json_full_run(bench):
+    correctness = {
+        "device_ok": True, "hybrid_ok": True, "device": "TPU_0",
+        "tempo_err_device_exact": 1e-7, "max_feature_err_vs_golden": 2e-5,
+        "tempo_err_hybrid": 1e-7, "max_feature_err_hybrid": 2e-5,
+    }
+    out = bench.assemble_json(
+        baseline={"cpu_analysis_songs_per_sec": 20.0,
+                  "cpu_e2e_songs_per_sec": 18.0},
+        correctness=correctness,
+        throughput={"per_batch_s": 0.0061, "songs_per_sec": 21000.0,
+                    "batch": 128},
+        hybrid={"per_batch_s": 0.09, "songs_per_sec": 1400.0},
+        e2e={"songs": 10000, "songs_per_sec": 30.0,
+             "warm_rescan_songs_per_sec": 4000.0, "gen_seconds": 1.0,
+             "elapsed_seconds": 300.0, "decode_core_seconds": 200.0,
+             "decode_s_per_song_per_core": 0.02, "stage_seconds": {},
+             "_decode_s_per_song": 0.02},
+        kernels={"ok": True, "results": {"k": "ok"}},
+        fuzz={"divergent": 0, "cases": 16},
+        errors={},
+    )
+    assert out["value"] == 21000.0
+    assert out["vs_baseline"] == 1050.0
+    assert out["correctness_ok"] is True
+    assert out["kernels_ok"] is True
+    assert out["e2e_vs_baseline"] == round(30.0 / 18.0, 1)
+    # the projection caps at the measured device rate
+    proj = out["e2e"]["projected_songs_per_sec_at_cores"]
+    assert proj["8"] == 400.0 and proj["96"] == 4800.0
+    json.dumps(out)  # must be serializable
+
+
+def test_assemble_json_fuzz_divergence_zeroes_value(bench):
+    correctness = {
+        "device_ok": True, "hybrid_ok": True, "device": "TPU_0",
+        "tempo_err_device_exact": 0.0, "max_feature_err_vs_golden": 0.0,
+        "tempo_err_hybrid": 0.0, "max_feature_err_hybrid": 0.0,
+    }
+    out = bench.assemble_json(
+        baseline={"cpu_analysis_songs_per_sec": 20.0,
+                  "cpu_e2e_songs_per_sec": 18.0},
+        correctness=correctness,
+        throughput={"per_batch_s": 0.006, "songs_per_sec": 21000.0,
+                    "batch": 128},
+        hybrid=None, e2e=None, kernels=None,
+        fuzz={"divergent": 2, "cases": 16},
+        errors={},
+    )
+    assert out["correctness_ok"] is False
+    assert out["value"] == 0.0
+
+    # ...but a fuzz INFRA error must not zero the number
+    out2 = bench.assemble_json(
+        baseline={"cpu_analysis_songs_per_sec": 20.0,
+                  "cpu_e2e_songs_per_sec": 18.0},
+        correctness=correctness,
+        throughput={"per_batch_s": 0.006, "songs_per_sec": 21000.0,
+                    "batch": 128},
+        hybrid=None, e2e=None, kernels=None,
+        fuzz={"error": "RuntimeError: tunnel"},
+        errors={"fuzz": "RuntimeError: tunnel"},
+    )
+    assert out2["correctness_ok"] is True
+    assert out2["value"] == 21000.0
