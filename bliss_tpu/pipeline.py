@@ -37,7 +37,7 @@ from bliss_tpu.features.streaming import (
     streaming_supports,
 )
 from bliss_tpu.io import iter_decode
-from bliss_tpu.store.feature_store import FeatureStore, file_fingerprint
+from bliss_tpu.store.feature_store import FeatureStore
 from bliss_tpu.utils import StageTimer, get_logger, log_event
 
 logger = get_logger("bliss_tpu.pipeline")
@@ -198,7 +198,9 @@ def analyze_library(
         with timer.stage("fingerprint"):
             for i, f in enumerate(files):
                 try:
-                    fp = file_fingerprint(f) + "-" + cfg_key
+                    # stat-prescreened: unchanged files (size+mtime) reuse
+                    # their cached content hash without re-reading bytes
+                    fp = store.fingerprint(f) + "-" + cfg_key
                 except OSError as e:
                     errors[f] = f"stat/read failed: {e}"
                     continue

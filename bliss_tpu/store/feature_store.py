@@ -18,6 +18,14 @@ Layout (scales to 100k+ songs with O(dirty) flushes):
 
 Legacy stores (index.json + meta.json) load transparently and convert to
 the append-only layout on the next compact().
+
+Warm re-scans are stat-prescreened: a ``statcache.jsonl`` sidecar maps
+``path -> (size, mtime_ns, fingerprint)`` so an unchanged file's content
+hash is reused from a single ``stat()`` call instead of re-reading its
+bytes — the daily "re-scan my library" workload does near-zero I/O. Any
+stat change (size or mtime) falls back to content hashing, so a touched
+or re-encoded file re-fingerprints (and, if the content changed,
+re-analyzes).
 """
 
 from __future__ import annotations
@@ -86,6 +94,9 @@ class FeatureStore:
         self._dirty: set[str] = set()
         self._dirty_meta: set[str] = set()
         self._shards: list[str] = []
+        # path -> [size, mtime_ns, fingerprint]; later lines win on reload
+        self._statcache: dict[str, list] = {}
+        self._dirty_stat: set[str] = set()
         self._load()
 
     # --- paths ---------------------------------------------------------------
@@ -95,6 +106,9 @@ class FeatureStore:
 
     def _meta_log(self) -> str:
         return os.path.join(self.path, "meta.jsonl")
+
+    def _stat_log(self) -> str:
+        return os.path.join(self.path, "statcache.jsonl")
 
     # --- load ----------------------------------------------------------------
 
@@ -133,6 +147,39 @@ class FeatureStore:
                         continue
                     rec = json.loads(line)
                     self._meta[rec.pop("_key")] = rec
+        if os.path.exists(self._stat_log()):
+            with open(self._stat_log()) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    self._statcache[rec["path"]] = [
+                        rec["size"], rec["mtime_ns"], rec["fp"]
+                    ]
+
+    # --- stat-prescreened fingerprinting --------------------------------------
+
+    def fingerprint(self, path: str) -> str:
+        """Content fingerprint of ``path``, prescreened by ``stat()``: if
+        (size, mtime_ns) are unchanged since the last scan, the cached hash
+        is returned without reading the file — a warm library re-scan does
+        one stat per file instead of re-reading every file's bytes (the
+        reference GUI re-pays full analysis on every scan, reference:
+        python/examples/analyze_gui.py:37-49). Any stat change falls back
+        to content hashing; content is still the identity (a renamed file
+        re-stats but maps to its existing features via the content hash)."""
+        st = os.stat(path)
+        key = (st.st_size, st.st_mtime_ns)
+        with self._lock:
+            rec = self._statcache.get(path)
+            if rec is not None and (rec[0], rec[1]) == key:
+                return rec[2]
+        fp = file_fingerprint(path)
+        with self._lock:
+            self._statcache[path] = [st.st_size, st.st_mtime_ns, fp]
+            self._dirty_stat.add(path)
+        return fp
 
     # --- map interface -------------------------------------------------------
 
@@ -160,6 +207,17 @@ class FeatureStore:
         Cost is O(dirty entries), independent of store size. Auto-compacts
         when the shard count passes ``auto_compact_shards``."""
         with self._lock:
+            if self._dirty_stat:
+                with open(self._stat_log(), "a") as f:
+                    for p in sorted(self._dirty_stat):
+                        s, m, fp = self._statcache[p]
+                        f.write(
+                            json.dumps(
+                                {"path": p, "size": s, "mtime_ns": m, "fp": fp}
+                            )
+                            + "\n"
+                        )
+                self._dirty_stat.clear()
             if not self._dirty:
                 return
             by_width: dict[int, list[str]] = {}
@@ -202,7 +260,10 @@ class FeatureStore:
         with --extended into an existing store — so each width compacts to
         its own shard; np.stack over mixed shapes would crash.)"""
         with self._lock:
-            if not self._features and not self._shards and not self._meta:
+            if not (
+                self._features or self._shards or self._meta
+                or self._statcache
+            ):
                 return  # nothing live and nothing on disk to clean up
             by_width: dict[int, list[str]] = {}
             for k in sorted(self._features):
@@ -233,6 +294,21 @@ class FeatureStore:
                     f.write(json.dumps({"_key": k, **self._meta[k]}) + "\n")
             os.replace(self._meta_log() + ".tmp", self._meta_log())
             self._dirty_meta.clear()
+
+            # dedup the stat cache (drop superseded lines + vanished files)
+            with open(self._stat_log() + ".tmp", "w") as f:
+                for p in sorted(self._statcache):
+                    if not os.path.exists(p):
+                        continue
+                    s, m, fp = self._statcache[p]
+                    f.write(
+                        json.dumps(
+                            {"path": p, "size": s, "mtime_ns": m, "fp": fp}
+                        )
+                        + "\n"
+                    )
+            os.replace(self._stat_log() + ".tmp", self._stat_log())
+            self._dirty_stat.clear()
 
             for stale in old + ["index.json", "meta.json"]:
                 try:

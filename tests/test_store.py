@@ -221,3 +221,74 @@ def test_snapshot_safe_during_concurrent_puts(tmp_path):
     finally:
         stop.set()
         t.join(timeout=30)
+
+
+# --- stat-prescreened fingerprinting (round 4) ------------------------------
+
+
+def test_fingerprint_stat_prescreen_skips_reads(tmp_path):
+    """An unchanged file's second fingerprint must come from the stat cache
+    (no byte reads): proven by swapping the content while pinning size and
+    mtime — the cached (stale) hash comes back, so no re-read happened."""
+    s = FeatureStore(str(tmp_path / "store"))
+    f = tmp_path / "a.flac"
+    f.write_bytes(b"A" * 4096)
+    st = os.stat(f)
+    fp1 = s.fingerprint(str(f))
+
+    f.write_bytes(b"B" * 4096)  # same size, different content
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # pin mtime back
+    assert s.fingerprint(str(f)) == fp1  # stat hit: bytes never read
+
+    # any mtime change falls back to content hashing -> new fingerprint
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    fp2 = s.fingerprint(str(f))
+    assert fp2 != fp1
+
+    # and a size change too
+    f.write_bytes(b"B" * 8192)
+    assert s.fingerprint(str(f)) not in (fp1, fp2)
+
+
+def test_fingerprint_statcache_persists_and_compacts(tmp_path):
+    store_dir = str(tmp_path / "store")
+    f1 = tmp_path / "x.bin"
+    f2 = tmp_path / "y.bin"
+    f1.write_bytes(os.urandom(2048))
+    f2.write_bytes(os.urandom(2048))
+
+    s = FeatureStore(store_dir)
+    fp1 = s.fingerprint(str(f1))
+    s.fingerprint(str(f2))
+    s.flush()  # stat entries flush even with no dirty feature rows
+    log = os.path.join(store_dir, "statcache.jsonl")
+    assert os.path.exists(log)
+
+    # a reopened store reuses the persisted cache: pin content-swap again
+    st = os.stat(f1)
+    f1.write_bytes(b"Z" * 2048)
+    os.utime(f1, ns=(st.st_atime_ns, st.st_mtime_ns))
+    s2 = FeatureStore(store_dir)
+    assert s2.fingerprint(str(f1)) == fp1
+
+    # compact dedups the log and drops vanished files
+    os.remove(f2)
+    s2.fingerprint(str(f1))
+    s2.compact()
+    with open(log) as fh:
+        lines = [json.loads(line) for line in fh if line.strip()]
+    assert [rec["path"] for rec in lines] == [str(f1)]
+
+
+def test_fingerprint_matches_content_hash(tmp_path):
+    """The prescreened fingerprint IS the content hash — a renamed copy
+    maps to the same features."""
+    from bliss_tpu.store.feature_store import file_fingerprint
+
+    s = FeatureStore(str(tmp_path / "store"))
+    f = tmp_path / "orig.bin"
+    f.write_bytes(os.urandom(1 << 18))
+    assert s.fingerprint(str(f)) == file_fingerprint(str(f))
+    cp = tmp_path / "renamed.bin"
+    cp.write_bytes(f.read_bytes())
+    assert s.fingerprint(str(cp)) == s.fingerprint(str(f))
