@@ -265,6 +265,63 @@ def measure_baseline() -> dict:
     return result
 
 
+def stage_decode_model() -> dict:
+    """Host decode cost per codec/variant: seconds/song for the same 11-s
+    content encoded as verbatim FLAC (the synthetic e2e library), compressed
+    FLAC, mp3, ogg-vorbis, and wav — plus the reference's own fixture. The
+    e2e projection is decode-bound on any realistic host, so the codec mix
+    is the dominant variable (measured ~4x between verbatim and compressed
+    FLAC on this host). Device-independent: runs even when the TPU is
+    unavailable."""
+    import tempfile
+
+    import numpy as np
+
+    from bliss_tpu.io import decode, encode
+    from bliss_tpu.io.flac_writer import write_flac
+
+    rng = np.random.RandomState(7)
+    t = np.arange(11 * 22050)
+    sig = 9000 * np.sin(2 * np.pi * t / 50.0) + rng.randn(t.size) * 800
+    beat = 0.3 + 0.7 * ((t // 8192) % 2)
+    pcm = np.clip(sig * beat, -32768, 32767).astype(np.int16)
+    frames = np.stack([pcm, pcm], axis=1)  # [n, 2] for the verbatim writer
+    inter = frames.reshape(-1)  # interleaved for the libav encoder
+
+    out = {}
+    with tempfile.TemporaryDirectory() as d:
+        variants = {}
+        p = os.path.join(d, "verbatim.flac")
+        write_flac(p, frames)
+        variants["flac_verbatim"] = p
+        for name, fname, codec in (
+            ("flac_compressed", "c.flac", None),
+            ("mp3", "c.mp3", "libmp3lame"),
+            ("ogg_vorbis", "c.ogg", "libvorbis"),
+            ("wav_pcm", "c.wav", None),
+        ):
+            try:
+                variants[name] = encode(os.path.join(d, fname), inter,
+                                        codec=codec)
+            except Exception as e:  # noqa: BLE001 — encoder optional
+                out[name] = {"error": f"{type(e).__name__}: {e}"}
+        if os.path.exists(FIXTURE):
+            variants["reference_fixture_flac"] = FIXTURE
+
+        for name, path in variants.items():
+            decode(path)  # warm page cache
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                decode(path)
+                best = min(best, time.perf_counter() - t0)
+            out[name] = {
+                "s_per_song": round(best, 4),
+                "file_bytes": os.path.getsize(path),
+            }
+    return out
+
+
 class DeviceCtx:
     """Device-resident state shared by the correctness/throughput stages:
     the fixture batch on device and the compiled production program."""
@@ -523,7 +580,7 @@ def stage_fuzz() -> dict:
 
 
 def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
-                  fuzz, errors) -> dict:
+                  fuzz, errors, decode_model=None) -> dict:
     """Build the output line from whatever stages succeeded; missing or
     failed stages degrade to marked fields instead of aborting the bench."""
     correctness_ok = bool(
@@ -566,18 +623,32 @@ def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
                 out["e2e_songs_per_sec"] / baseline["cpu_e2e_songs_per_sec"], 1
             )
         # real-host projection: decode scales with cores; the device rate
-        # is the measured device-resident throughput on this chip
-        e2e["projected_songs_per_sec_at_cores"] = {
-            str(c): round(
-                min(
-                    c / max(decode_s, 1e-9),
-                    songs_per_sec if throughput else float("inf"),
-                ),
-                1,
-            )
-            for c in (8, 32, 96)
-        }
+        # is the measured device-resident throughput on this chip. See
+        # OPERATIONS.md "What bounds throughput" for the model's assumptions.
+        device_cap = songs_per_sec if throughput else float("inf")
+
+        def _project(s_per_song):
+            return {
+                str(c): round(min(c / max(s_per_song, 1e-9), device_cap), 1)
+                for c in (8, 32, 96)
+            }
+
+        e2e["projected_songs_per_sec_at_cores"] = _project(decode_s)
+        if decode_model:
+            # fold the measured per-codec decode costs in: the projection
+            # above assumes the scanned library's codec (verbatim FLAC);
+            # real libraries are compressed FLAC / mp3 — rates per variant
+            e2e["decode_s_per_song_by_codec"] = {
+                k: v.get("s_per_song", v) for k, v in decode_model.items()
+            }
+            e2e["projected_songs_per_sec_at_cores_by_codec"] = {
+                k: _project(v["s_per_song"])
+                for k, v in decode_model.items()
+                if "s_per_song" in v
+            }
         out["e2e"] = e2e
+    elif decode_model:
+        out["decode_model"] = decode_model
     if correctness:
         for k in (
             "tempo_err_device_exact",
@@ -622,6 +693,7 @@ def main() -> int:
     )
 
     baseline = run_stage(ckpt, "baseline", measure_baseline)
+    decode_model = run_stage(ckpt, "decode_model", stage_decode_model)
 
     # Acquire the backend once, explicitly, so a poisoned plugin init is
     # distinguishable from a stage bug: in-process retries first, then a
@@ -660,7 +732,8 @@ def main() -> int:
         if "error" in rec
     }
     out = assemble_json(
-        baseline, correctness, throughput, hybrid, e2e, kernels, fuzz, errors
+        baseline, correctness, throughput, hybrid, e2e, kernels, fuzz,
+        errors, decode_model,
     )
     print(json.dumps(out))
     if not errors:

@@ -2,8 +2,10 @@ from bliss_tpu.io.decoder import (
     AudioProbe,
     DecodedAudio,
     DecodeError,
+    EncodeError,
     decode,
     decode_batch,
+    encode,
     iter_decode,
     native_version,
     probe,
@@ -13,8 +15,10 @@ __all__ = [
     "AudioProbe",
     "DecodedAudio",
     "DecodeError",
+    "EncodeError",
     "decode",
     "decode_batch",
+    "encode",
     "iter_decode",
     "native_version",
     "probe",

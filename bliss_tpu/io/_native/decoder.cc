@@ -12,6 +12,7 @@
 //
 // Exposed as a C ABI consumed from Python via ctypes (no pybind11 in image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -326,6 +327,151 @@ int bt_probe(const char* filename, bt_decoded* out) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Encoder: interleaved s16 stereo PCM -> any libav-supported audio file.
+//
+// The reference has no encoder; this exists so the framework can GENERATE
+// its own test/bench fixtures across codecs (compressed FLAC, mp3, ogg,
+// wav) instead of depending on pre-encoded files — feeding the decode
+// MD5/round-trip tests and the per-codec decode-cost model in bench.py.
+// Container is inferred from the filename extension; `codec_name`
+// optionally overrides the container's default audio codec.
+
+namespace {
+
+struct OutFormatCtx {
+  AVFormatContext* p = nullptr;
+  ~OutFormatCtx() {
+    if (p) {
+      if (p->pb && !(p->oformat->flags & AVFMT_NOFILE)) avio_closep(&p->pb);
+      avformat_free_context(p);
+    }
+  }
+};
+
+AVSampleFormat pick_sample_fmt(const AVCodec* codec) {
+  if (!codec->sample_fmts) return AV_SAMPLE_FMT_S16;
+  // prefer s16 (lossless passthrough), then planar s16, else the first
+  for (const AVSampleFormat* f = codec->sample_fmts;
+       *f != AV_SAMPLE_FMT_NONE; ++f)
+    if (*f == AV_SAMPLE_FMT_S16) return *f;
+  for (const AVSampleFormat* f = codec->sample_fmts;
+       *f != AV_SAMPLE_FMT_NONE; ++f)
+    if (*f == AV_SAMPLE_FMT_S16P) return *f;
+  return codec->sample_fmts[0];
+}
+
+}  // namespace
+
+int bt_encode(const char* filename, const int16_t* samples, int64_t n_samples,
+              int32_t sample_rate, const char* codec_name, char** error) {
+  auto fail = [&](const std::string& msg) {
+    if (error) *error = dup_cstr(msg);
+    return -1;
+  };
+  if (!samples || n_samples <= 0 || (n_samples % kTargetChannels) != 0)
+    return fail("encode: need non-empty interleaved stereo samples");
+  av_log_set_level(AV_LOG_QUIET);
+
+  OutFormatCtx ofmt;
+  if (avformat_alloc_output_context2(&ofmt.p, nullptr, nullptr, filename) < 0 ||
+      !ofmt.p)
+    return fail(std::string("encode: unknown output format for ") + filename);
+
+  const AVCodec* codec =
+      (codec_name && *codec_name)
+          ? avcodec_find_encoder_by_name(codec_name)
+          : avcodec_find_encoder(ofmt.p->oformat->audio_codec);
+  if (!codec)
+    return fail(std::string("encode: encoder not available: ") +
+                (codec_name && *codec_name ? codec_name : "<container default>"));
+
+  CodecCtx cc;
+  cc.p = avcodec_alloc_context3(codec);
+  if (!cc.p) return fail("encode: could not alloc codec context");
+  AVChannelLayout stereo = AV_CHANNEL_LAYOUT_STEREO;
+  av_channel_layout_copy(&cc.p->ch_layout, &stereo);
+  cc.p->sample_rate = sample_rate;
+  cc.p->sample_fmt = pick_sample_fmt(codec);
+  cc.p->time_base = AVRational{1, sample_rate};
+  cc.p->bit_rate = 128000;  // used by lossy codecs only
+  if (ofmt.p->oformat->flags & AVFMT_GLOBALHEADER)
+    cc.p->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(cc.p, codec, nullptr) < 0)
+    return fail(std::string("encode: could not open encoder ") +
+                codec->name);
+
+  AVStream* stream = avformat_new_stream(ofmt.p, nullptr);
+  if (!stream || avcodec_parameters_from_context(stream->codecpar, cc.p) < 0)
+    return fail("encode: could not create output stream");
+  stream->time_base = cc.p->time_base;
+
+  if (!(ofmt.p->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&ofmt.p->pb, filename, AVIO_FLAG_WRITE) < 0)
+    return fail(std::string("encode: could not open for writing: ") +
+                filename);
+  if (avformat_write_header(ofmt.p, nullptr) < 0)
+    return fail("encode: could not write header");
+
+  // s16 interleaved -> the encoder's sample format (same rate/layout)
+  SwrCtx swr;
+  AVChannelLayout in_layout = AV_CHANNEL_LAYOUT_STEREO;
+  if (swr_alloc_set_opts2(&swr.p, &cc.p->ch_layout, cc.p->sample_fmt,
+                          sample_rate, &in_layout, AV_SAMPLE_FMT_S16,
+                          sample_rate, 0, nullptr) < 0 ||
+      swr_init(swr.p) < 0)
+    return fail("encode: could not init sample-format converter");
+
+  Packet pkt;
+  Frame frame;
+  if (!pkt.p || !frame.p) return fail("encode: allocation failure");
+  const int chunk =
+      cc.p->frame_size > 0 ? cc.p->frame_size : 4096;
+  frame.p->format = cc.p->sample_fmt;
+  av_channel_layout_copy(&frame.p->ch_layout, &cc.p->ch_layout);
+  frame.p->sample_rate = sample_rate;
+  frame.p->nb_samples = chunk;
+  if (av_frame_get_buffer(frame.p, 0) < 0)
+    return fail("encode: could not alloc frame buffer");
+
+  auto drain = [&](AVFrame* f) -> bool {
+    if (avcodec_send_frame(cc.p, f) < 0) return false;
+    for (;;) {
+      int r = avcodec_receive_packet(cc.p, pkt.p);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return true;
+      if (r < 0) return false;
+      av_packet_rescale_ts(pkt.p, cc.p->time_base, stream->time_base);
+      pkt.p->stream_index = stream->index;
+      if (av_interleaved_write_frame(ofmt.p, pkt.p) < 0) return false;
+    }
+  };
+
+  const int64_t total_frames = n_samples / kTargetChannels;
+  int64_t pos = 0;
+  while (pos < total_frames) {
+    int in_frames = static_cast<int>(
+        std::min<int64_t>(chunk, total_frames - pos));
+    if (av_frame_make_writable(frame.p) < 0)
+      return fail("encode: frame not writable");
+    const uint8_t* in_planes[1] = {reinterpret_cast<const uint8_t*>(
+        samples + pos * kTargetChannels)};
+    int got = swr_convert(swr.p, frame.p->extended_data, chunk, in_planes,
+                          in_frames);
+    if (got < 0) return fail("encode: sample-format conversion failed");
+    frame.p->nb_samples = got;
+    frame.p->pts = pos;
+    if (got > 0 && !drain(frame.p))
+      return fail(std::string("encode: encoder rejected frame (") +
+                  codec->name + ")");
+    pos += in_frames;
+  }
+  if (!drain(nullptr)) return fail("encode: encoder flush failed");
+  if (av_write_trailer(ofmt.p) < 0)
+    return fail("encode: could not write trailer");
+  if (error) *error = nullptr;
+  return 0;
+}
+
 void bt_free_decoded(bt_decoded* d) {
   if (!d) return;
   std::free(d->samples);
@@ -337,6 +483,8 @@ void bt_free_decoded(bt_decoded* d) {
   std::free(d->error);
   std::memset(d, 0, sizeof(*d));
 }
+
+void bt_free_cstr(char* s) { std::free(s); }
 
 const char* bt_version() { return "bliss-tpu-io 0.1.0"; }
 

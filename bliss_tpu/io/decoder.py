@@ -170,6 +170,17 @@ def _load_lib():
         lib.bt_probe.restype = ctypes.c_int
         lib.bt_free_decoded.argtypes = [ctypes.POINTER(_BtDecoded)]
         lib.bt_free_decoded.restype = None
+        lib.bt_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_char_p),
+        ]
+        lib.bt_encode.restype = ctypes.c_int
+        lib.bt_free_cstr.argtypes = [ctypes.c_char_p]
+        lib.bt_free_cstr.restype = None
         lib.bt_version.restype = ctypes.c_char_p
         _lib = lib
     return _lib
@@ -258,6 +269,46 @@ def probe(filename: str | os.PathLike) -> AudioProbe:
         )
     finally:
         lib.bt_free_decoded(ctypes.byref(out))
+
+
+class EncodeError(RuntimeError):
+    """Raised when PCM cannot be encoded to the requested file/codec."""
+
+
+def encode(
+    filename: str | os.PathLike,
+    samples: np.ndarray,
+    sample_rate: int = 22050,
+    codec: str | None = None,
+) -> str:
+    """Encode interleaved s16 stereo PCM to an audio file.
+
+    The container comes from the filename extension (``.flac``, ``.mp3``,
+    ``.ogg``, ``.wav``, ...); ``codec`` optionally overrides the
+    container's default encoder (e.g. ``"libmp3lame"``). The reference has
+    no encoder — this exists so tests and benches can generate per-codec
+    fixtures (compressed FLAC, mp3, ...) instead of shipping them.
+    Lossless targets round-trip bit-exactly through :func:`decode`.
+    """
+    filename = os.fspath(filename)
+    pcm = np.ascontiguousarray(np.asarray(samples, np.int16).reshape(-1))
+    if pcm.size == 0 or pcm.size % 2:
+        raise EncodeError("need non-empty interleaved stereo samples")
+    lib = _load_lib()
+    err = ctypes.c_char_p()
+    rc = lib.bt_encode(
+        filename.encode("utf-8"),
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(pcm.size),
+        ctypes.c_int32(sample_rate),
+        codec.encode("utf-8") if codec else None,
+        ctypes.byref(err),
+    )
+    if rc != 0:
+        msg = _decode_str(err.value) or f"encode failed: {filename}"
+        lib.bt_free_cstr(err)
+        raise EncodeError(msg)
+    return filename
 
 
 def decode_batch(

@@ -278,3 +278,87 @@ def test_probe_bad_file_raises(tmp_path):
     bad.write_bytes(b"this is not a flac file")
     with pytest.raises(DecodeError):
         probe(str(bad))
+
+
+# --- native encoder (round 4) ------------------------------------------------
+
+
+def _test_pcm(n_frames=22050 * 3, seed=3):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_frames)
+    sig = 9000 * np.sin(2 * np.pi * t / 64.0) + rng.randn(n_frames) * 500
+    left = np.clip(sig, -32768, 32767).astype(np.int16)
+    right = np.clip(sig * 0.8, -32768, 32767).astype(np.int16)
+    return np.stack([left, right], axis=1).reshape(-1)  # interleaved
+
+
+def test_encode_flac_lossless_roundtrip(tmp_path):
+    """Compressed FLAC written by the native encoder decodes bit-exactly
+    (canonical s16/22.05kHz/stereo in == out)."""
+    from bliss_tpu.io import decode, encode
+
+    pcm = _test_pcm()
+    p = str(tmp_path / "rt.flac")
+    encode(p, pcm)
+    # actually compressed, not verbatim (raw would be pcm.size * 2 bytes)
+    assert os.path.getsize(p) < pcm.size * 2 * 0.9
+    d = decode(p)
+    assert d.resampled == 0
+    np.testing.assert_array_equal(d.samples, pcm)
+
+
+def test_encode_wav_lossless_roundtrip(tmp_path):
+    from bliss_tpu.io import decode, encode
+
+    pcm = _test_pcm()
+    p = str(tmp_path / "rt.wav")
+    encode(p, pcm)
+    np.testing.assert_array_equal(decode(p).samples, pcm)
+
+
+@pytest.mark.parametrize(
+    "ext,codec", [("mp3", "libmp3lame"), ("ogg", "libvorbis")]
+)
+def test_encode_lossy_decodes_close(tmp_path, ext, codec):
+    """Lossy encodes decode to the same length and correlate strongly with
+    the source (they also exercise decode's non-FLAC demux paths, which the
+    reference fixtures don't cover)."""
+    from bliss_tpu.io import decode, encode
+
+    pcm = _test_pcm()
+    p = str(tmp_path / f"rt.{ext}")
+    encode(p, pcm, codec=codec)
+    d = decode(p)
+    assert abs(d.n_samples - pcm.size) <= 4096 * 2  # codec edge padding
+    n = min(d.n_samples, pcm.size)
+    a = d.samples[:n].astype(np.float64)
+    b = pcm[:n].astype(np.float64)
+    corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert corr > 0.95, corr
+
+
+def test_encode_analyze_pipeline(tmp_path):
+    """An encoded mp3 flows through the full analysis pipeline: the
+    per-codec e2e surface the synthetic FLAC library can't test."""
+    from bliss_tpu.config import AnalysisConfig
+    from bliss_tpu.io import encode
+    from bliss_tpu.pipeline import analyze_library
+
+    p = str(tmp_path / "song.mp3")
+    encode(p, _test_pcm(), codec="libmp3lame")
+    r = analyze_library([p], cfg=AnalysisConfig.for_parity(), batch_size=1)
+    assert r.ok.all()
+    assert np.isfinite(r.features).all()
+
+
+def test_encode_error_paths(tmp_path):
+    from bliss_tpu.io import EncodeError, encode
+
+    with pytest.raises(EncodeError):
+        encode(str(tmp_path / "x.notaformat"), _test_pcm())
+    with pytest.raises(EncodeError):
+        encode(str(tmp_path / "x.flac"), np.zeros(0, np.int16))
+    with pytest.raises(EncodeError):  # odd length: not interleaved stereo
+        encode(str(tmp_path / "y.flac"), np.zeros(3, np.int16))
+    with pytest.raises(EncodeError):  # unknown codec override
+        encode(str(tmp_path / "z.flac"), _test_pcm(), codec="nope")
