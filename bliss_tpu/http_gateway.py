@@ -178,6 +178,22 @@ class HttpGateway:
             "# TYPE bliss_uptime_seconds gauge",
             f"bliss_uptime_seconds {time.time() - self.server._t0:.1f}",
         ]
+        with self.server._health_lock:
+            h = dict(self.server._backend_health)
+        lines += [
+            "# HELP bliss_backend_healthy 1 while the accelerator backend "
+            "answers; 0 after a backend-loss error until recovery.",
+            "# TYPE bliss_backend_healthy gauge",
+            f"bliss_backend_healthy {1 if h['healthy'] else 0}",
+            "# HELP bliss_backend_failures_consecutive Device-touching "
+            "requests failed since the backend was last healthy.",
+            "# TYPE bliss_backend_failures_consecutive gauge",
+            f"bliss_backend_failures_consecutive {h['consecutive_failures']}",
+            "# HELP bliss_backend_recoveries_total Degraded->healthy "
+            "transitions.",
+            "# TYPE bliss_backend_recoveries_total counter",
+            f"bliss_backend_recoveries_total {h['recoveries']}",
+        ]
         if self.server.store is not None:
             lines += [
                 "# HELP bliss_store_entries Feature-store entries resident.",

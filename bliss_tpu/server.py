@@ -67,6 +67,27 @@ logger = get_logger("bliss_tpu.server")
 _MAX_LINE = 32 << 20  # defensive cap on one request line (32 MB)
 _SEND_TIMEOUT = 30.0  # max seconds one send to a stalled client may block
 
+# Error signatures of a lost/unreachable accelerator backend (remote-TPU
+# tunnel drops, plugin init failures) as opposed to a bad request. A match
+# flips the daemon into degraded mode; the next device-touching request
+# attempts recovery. Same transient taxonomy as bench.py's _retry.
+_BACKEND_ERROR_MARKERS = (
+    "UNAVAILABLE",
+    "Unavailable",
+    "DEADLINE_EXCEEDED",
+    "DeadlineExceeded",
+    "Socket closed",
+    "Connection reset",
+    "failed to connect",
+    "Unable to initialize backend",
+    "ABORTED",
+)
+
+
+def _is_backend_error(e: BaseException) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return any(m in msg for m in _BACKEND_ERROR_MARKERS)
+
 
 class AnalysisServer:
     """Resident analysis service over a Unix socket or loopback TCP.
@@ -106,6 +127,21 @@ class AnalysisServer:
         self._t0 = time.time()
         self._counters = {"requests": 0, "songs_analyzed": 0, "errors": 0}
         self._ready = threading.Event()
+        # Backend loss handling: a long-lived daemon on remote/tunneled
+        # accelerators WILL see the device disappear mid-request. The
+        # affected request fails cleanly, /status and /metrics report
+        # degraded, and the next device-touching request attempts recovery
+        # (the dispatch itself re-reaches the device once the tunnel is
+        # back; init-class failures also drop the poisoned backend registry
+        # first so the plugin re-initializes).
+        self._backend_health = {
+            "healthy": True,
+            "consecutive_failures": 0,
+            "recoveries": 0,
+            "last_error": None,
+            "last_failure_unix": None,
+        }
+        self._health_lock = threading.Lock()
 
     # --- transport ----------------------------------------------------------
 
@@ -332,15 +368,85 @@ class AnalysisServer:
             return {"stopping": True}
         raise ValueError(f"unknown op {op!r}")
 
-    def _status(self) -> dict:
-        import jax
+    # --- backend loss / recovery ---------------------------------------------
 
+    def _device_call(self, fn):
+        """Run device-touching work with backend-loss accounting: a backend
+        error marks the daemon degraded (and re-raises so the request fails
+        cleanly); the next call in degraded state attempts recovery first
+        and, on success, marks the daemon healthy again."""
+        with self._health_lock:
+            was_degraded = not self._backend_health["healthy"]
+            last_error = self._backend_health["last_error"]
+        if was_degraded:
+            self._try_backend_recovery(last_error or "")
+        try:
+            out = fn()
+        except Exception as e:
+            if _is_backend_error(e):
+                with self._health_lock:
+                    self._backend_health["healthy"] = False
+                    self._backend_health["consecutive_failures"] += 1
+                    self._backend_health["last_error"] = (
+                        f"{type(e).__name__}: {e}"
+                    )
+                    self._backend_health["last_failure_unix"] = round(
+                        time.time(), 1
+                    )
+                log_event(
+                    logger, "backend lost", error=str(e),
+                    consecutive=self._backend_health["consecutive_failures"],
+                )
+            raise
+        if was_degraded:
+            with self._health_lock:
+                self._backend_health["healthy"] = True
+                self._backend_health["consecutive_failures"] = 0
+                self._backend_health["recoveries"] += 1
+            log_event(logger, "backend recovered")
+        return out
+
+    @staticmethod
+    def _try_backend_recovery(last_error: str) -> None:
+        """Best-effort pre-flight before retrying device work in degraded
+        state. Dispatch-class failures (tunnel dropped mid-flight) need
+        nothing — re-dispatching reconnects once the device is back.
+        Init-class failures leave jax's backend registry poisoned for the
+        process, so drop it and let the plugin re-initialize."""
+        if "Unable to initialize backend" not in last_error:
+            return
+        try:  # pragma: no cover - exercised only on real init poisoning
+            import jax
+
+            jax.clear_caches()
+            if hasattr(jax, "clear_backends"):
+                jax.clear_backends()
+        except Exception as e:  # noqa: BLE001 — recovery is best-effort
+            log_event(logger, "backend reinit attempt failed", error=str(e))
+
+    def _status(self) -> dict:
         from bliss_tpu import __version__
 
+        # a dead backend must not take /status down with it: report it
+        try:
+            import jax
+
+            backend = jax.default_backend()
+            devices = jax.device_count()
+        except Exception as e:  # noqa: BLE001 — degraded, not broken
+            backend, devices = "unavailable", 0
+            with self._health_lock:
+                self._backend_health["healthy"] = False
+                self._backend_health["last_error"] = (
+                    f"{type(e).__name__}: {e}"
+                )
+        with self._health_lock:
+            health = dict(self._backend_health)
         return {
             "version": __version__,
-            "backend": jax.default_backend(),
-            "devices": jax.device_count(),
+            "backend": backend,
+            "devices": devices,
+            "backend_health": health,
             "config": {
                 "dtype": self.cfg.dtype,
                 "tempo_finish": self.cfg.tempo_finish,
@@ -362,14 +468,16 @@ class AnalysisServer:
             if not isinstance(p, str):
                 raise ValueError("paths must be strings")
         with self._analysis_lock:
-            result = analyze_library(
-                paths,
-                cfg=self.cfg,
-                batch_size=self.batch_size,
-                store=self.store,
-                mesh=self.mesh,
-                extended=extended,
-                handle_sigint=False,
+            result = self._device_call(
+                lambda: analyze_library(
+                    paths,
+                    cfg=self.cfg,
+                    batch_size=self.batch_size,
+                    store=self.store,
+                    mesh=self.mesh,
+                    extended=extended,
+                    handle_sigint=False,
+                )
             )
         self._counters["songs_analyzed"] += int(result.ok.sum())
         return result
@@ -426,15 +534,17 @@ class AnalysisServer:
                 })
 
         with self._analysis_lock:
-            result = analyze_library(
-                files,
-                cfg=self.cfg,
-                batch_size=self.batch_size,
-                store=self.store,
-                mesh=self.mesh,
-                extended=extended,
-                progress=progress,
-                handle_sigint=False,
+            result = self._device_call(
+                lambda: analyze_library(
+                    files,
+                    cfg=self.cfg,
+                    batch_size=self.batch_size,
+                    store=self.store,
+                    mesh=self.mesh,
+                    extended=extended,
+                    progress=progress,
+                    handle_sigint=False,
+                )
             )
         self._counters["songs_analyzed"] += int(result.ok.sum())
         return {
@@ -465,8 +575,10 @@ class AnalysisServer:
             raise ValueError("need at least 2 store entries")
         k = min(top_k, len(names) - 1)
         with self._analysis_lock:
-            dists, idx = (
-                np.asarray(x) for x in nearest_neighbors_all(feats, k)
+            dists, idx = self._device_call(
+                lambda: tuple(
+                    np.asarray(x) for x in nearest_neighbors_all(feats, k)
+                )
             )
         return {
             "neighbors": {

@@ -693,3 +693,138 @@ def test_http_stream_client_disconnect_mid_scan(http_served):
     assert len(store) == 5
     code, body2, _ = _http("GET", gw.port, "/ping")
     assert code == 200 and json.loads(body2)["pong"]
+
+
+# --- backend loss / degraded mode --------------------------------------------
+
+
+def _boom_backend(*a, **k):
+    """Stand-in for a device dispatch that hits a dropped tunnel (the axon
+    UNAVAILABLE failure class seen in BENCH_r03)."""
+    raise RuntimeError(
+        "UNAVAILABLE: Unable to initialize backend 'axon': Socket closed"
+    )
+
+
+def test_backend_loss_degrades_and_recovers(served, monkeypatch):
+    """A mid-request device loss fails THAT request cleanly, flips the
+    daemon to degraded in /status, and the next device-touching request
+    recovers it — the daemon never dies (reference has no resident analog;
+    its consumers re-exec per song, examples/analyze.c)."""
+    import bliss_tpu.pipeline as pipeline
+
+    server, sock, store, tmp = served
+    a = _write_wav(tmp / "a.wav", freq=440.0)
+    real = pipeline.analyze_library
+
+    # healthy to start
+    st = request({"op": "status"}, sock)
+    assert st["backend_health"]["healthy"]
+    assert st["backend_health"]["recoveries"] == 0
+
+    # two failing requests: both fail cleanly, daemon stays up, degraded
+    monkeypatch.setattr(pipeline, "analyze_library", _boom_backend)
+    for _ in range(2):
+        r = request({"op": "analyze", "paths": [a]}, sock)
+        assert not r["ok"] and "UNAVAILABLE" in r["error"]
+    st = request({"op": "status"}, sock)
+    assert not st["backend_health"]["healthy"]
+    assert st["backend_health"]["consecutive_failures"] == 2
+    assert "UNAVAILABLE" in st["backend_health"]["last_error"]
+    assert st["backend_health"]["last_failure_unix"] is not None
+
+    # tunnel comes back: next device request succeeds and marks recovery
+    monkeypatch.setattr(pipeline, "analyze_library", real)
+    r = request({"op": "analyze", "paths": [a]}, sock)
+    assert r["ok"] and a in r["features"]
+    st = request({"op": "status"}, sock)
+    assert st["backend_health"]["healthy"]
+    assert st["backend_health"]["consecutive_failures"] == 0
+    assert st["backend_health"]["recoveries"] == 1
+
+
+def test_non_backend_errors_do_not_degrade(served, monkeypatch):
+    """Ordinary request failures (bad input, decode errors) must not be
+    misclassified as backend loss."""
+    import bliss_tpu.pipeline as pipeline
+
+    server, sock, _, tmp = served
+    a = _write_wav(tmp / "a.wav")
+
+    def bad_request(*args, **kwargs):
+        raise ValueError("malformed frames")
+
+    monkeypatch.setattr(pipeline, "analyze_library", bad_request)
+    r = request({"op": "analyze", "paths": [a]}, sock)
+    assert not r["ok"]
+    st = request({"op": "status"}, sock)
+    assert st["backend_health"]["healthy"]
+    assert st["backend_health"]["consecutive_failures"] == 0
+
+
+def test_backend_health_in_http_metrics(http_served, monkeypatch):
+    """/metrics exposes the degraded gauge so operators can alert on it."""
+    import bliss_tpu.pipeline as pipeline
+
+    server, gw, store, tmp = http_served
+    a = _write_wav(tmp / "a.wav", freq=520.0)
+    real = pipeline.analyze_library
+
+    code, body, _ = _http("GET", gw.port, "/metrics")
+    assert "bliss_backend_healthy 1" in body.decode()
+
+    monkeypatch.setattr(pipeline, "analyze_library", _boom_backend)
+    code, body, _ = _http("POST", gw.port, "/",
+                          {"op": "analyze", "paths": [a]})
+    assert code == 400 and "UNAVAILABLE" in json.loads(body)["error"]
+    code, body, _ = _http("GET", gw.port, "/metrics")
+    text = body.decode()
+    assert "bliss_backend_healthy 0" in text
+    assert "bliss_backend_failures_consecutive 1" in text
+
+    monkeypatch.setattr(pipeline, "analyze_library", real)
+    code, body, _ = _http("POST", gw.port, "/",
+                          {"op": "analyze", "paths": [a]})
+    assert code == 200
+    code, body, _ = _http("GET", gw.port, "/metrics")
+    text = body.decode()
+    assert "bliss_backend_healthy 1" in text
+    assert "bliss_backend_recoveries_total 1" in text
+
+
+def test_is_backend_error_taxonomy():
+    from bliss_tpu.server import _is_backend_error
+
+    assert _is_backend_error(RuntimeError("UNAVAILABLE: Socket closed"))
+    assert _is_backend_error(
+        RuntimeError("Unable to initialize backend 'axon'"))
+    assert _is_backend_error(Exception("DEADLINE_EXCEEDED while dispatching"))
+    assert not _is_backend_error(ValueError("paths must be strings"))
+    assert not _is_backend_error(RuntimeError("decode failed: bad header"))
+
+
+def test_init_class_failure_triggers_registry_reset(served, monkeypatch):
+    """After an init-class backend failure ('Unable to initialize backend'),
+    the next device call must attempt the registry reset pre-flight before
+    retrying (dispatch-class failures skip it)."""
+    import bliss_tpu.pipeline as pipeline
+    from bliss_tpu.server import AnalysisServer
+
+    server, sock, _, tmp = served
+    a = _write_wav(tmp / "a.wav")
+    calls = []
+    monkeypatch.setattr(
+        AnalysisServer, "_try_backend_recovery",
+        staticmethod(lambda last_error: calls.append(last_error)),
+    )
+
+    # dispatch-class loss -> recovery pre-flight runs with that message
+    def dispatch_boom(*args, **kwargs):
+        raise RuntimeError("UNAVAILABLE: Socket closed mid-dispatch")
+
+    real = pipeline.analyze_library
+    monkeypatch.setattr(pipeline, "analyze_library", dispatch_boom)
+    assert not request({"op": "analyze", "paths": [a]}, sock)["ok"]
+    monkeypatch.setattr(pipeline, "analyze_library", real)
+    assert request({"op": "analyze", "paths": [a]}, sock)["ok"]
+    assert len(calls) == 1 and "Socket closed" in calls[0]
