@@ -250,12 +250,12 @@ def test_probe_tags_match_decode(fixture_dir):
         assert p.bitrate == d.bitrate
 
 
-def test_probe_is_much_cheaper_than_decode():
+def test_probe_is_much_cheaper_than_decode(fixture_dir):
     import time
 
     from bliss_tpu.io import probe
 
-    f = "/root/reference/audio/song_s32.flac"
+    f = os.path.join(fixture_dir, "song_s32.flac")
     probe(f)
     decode(f)  # warm the page cache + lib
     t0 = time.time()
