@@ -476,6 +476,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bliss-tpu", description="TPU-native music analysis"
     )
+    p.add_argument(
+        "--platform",
+        default=os.environ.get("BLISS_TPU_PLATFORM"),
+        help="pin the JAX backend in-process (e.g. 'cpu', 'tpu', "
+        "'tpu,cpu'); applied before any device touch. Needed where a "
+        "device plugin overrides the JAX_PLATFORMS env var "
+        "(env fallback: BLISS_TPU_PLATFORM)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     a = sub.add_parser("analyze", help="analyze songs and print reports")
@@ -706,6 +714,12 @@ def cmd_serve(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        # must land before the first backend touch (all command fns import
+        # jax lazily, so parse time is early enough)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -333,3 +333,43 @@ def test_cli_store_neighbors_rejects_bad_top_k(tmp_path, capsys):
         rc = main(["store", "--top-k", bad, "neighbors", store_dir])
         assert rc == 2
         assert "--top-k must be >= 1" in capsys.readouterr().err
+
+
+def test_cli_platform_flag_and_env_fallback(monkeypatch, capsys):
+    """--platform pins jax_platforms before any backend touch; the env var
+    is the default. (On plugin-pinned hosts JAX_PLATFORMS is ignored, so
+    the CLI needs an in-process pin.)"""
+    import jax
+
+    from bliss_tpu.cli import build_parser, main
+
+    assert build_parser().parse_args(
+        ["--platform", "cpu", "version"]).platform == "cpu"
+    monkeypatch.setenv("BLISS_TPU_PLATFORM", "cpu")
+    assert build_parser().parse_args(["version"]).platform == "cpu"
+    monkeypatch.delenv("BLISS_TPU_PLATFORM")
+    assert build_parser().parse_args(["version"]).platform is None
+
+    # main() applies it (config already cpu under the test harness, so the
+    # update is a no-op rewrite, but the code path runs)
+    assert main(["--platform", "cpu", "version"]) == 0
+    assert "bliss-tpu" in capsys.readouterr().out
+    assert jax.config.jax_platforms == "cpu"
+
+
+def test_cli_platform_flag_subprocess_fresh_process(tmp_path):
+    """In a fresh process `--platform cpu` must keep the whole run off the
+    accelerator plugin (this is the documented escape hatch where
+    JAX_PLATFORMS is overridden by a plugin)."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "from bliss_tpu.cli import main; import jax, sys; "
+         "rc = main(['--platform', 'cpu', 'version']); "
+         "assert jax.config.jax_platforms == 'cpu'; sys.exit(rc)"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "bliss-tpu" in r.stdout
