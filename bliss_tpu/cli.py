@@ -593,6 +593,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-warmup", action="store_true",
         help="skip the startup compile of the analysis program",
     )
+    sv.add_argument(
+        "--health-probe", type=float, default=0.0, metavar="SECONDS",
+        help="probe the accelerator every SECONDS with a trivial dispatch: "
+        "detects silent backend loss and auto-recovers a degraded daemon "
+        "without waiting for traffic (0 = off; try 30-60 on flaky "
+        "remote/tunneled devices)",
+    )
     _add_mesh_opt(sv)
     _add_band_opts(sv)
     sv.set_defaults(fn=cmd_serve)
@@ -672,6 +679,7 @@ def cmd_serve(args) -> int:
         store=FeatureStore(args.store) if args.store else None,
         batch_size=args.batch_size,
         mesh=_parse_mesh(args.mesh),
+        health_probe_interval=args.health_probe or None,
     )
     if not args.no_warmup:
         print("warming up (compiling the analysis program)...", file=sys.stderr)

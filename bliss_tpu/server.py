@@ -105,6 +105,7 @@ class AnalysisServer:
         store: FeatureStore | None = None,
         batch_size: int = 64,
         mesh=None,
+        health_probe_interval: float | None = None,
     ):
         if socket_path is not None and port is not None:
             raise ValueError("pass at most one of socket_path / port")
@@ -142,6 +143,17 @@ class AnalysisServer:
             "last_failure_unix": None,
         }
         self._health_lock = threading.Lock()
+        # Optional watchdog: dispatch a trivial device op every
+        # `health_probe_interval` seconds so a silent tunnel drop flips
+        # /metrics within one interval and a degraded daemon recovers
+        # WITHOUT waiting for client traffic. Off by default (tiny but
+        # nonzero per-probe dispatch cost).
+        self.health_probe_interval = health_probe_interval
+        if health_probe_interval:
+            threading.Thread(
+                target=self._health_probe_loop, daemon=True,
+                name="bliss-health-probe",
+            ).start()
 
     # --- transport ----------------------------------------------------------
 
@@ -400,11 +412,32 @@ class AnalysisServer:
             raise
         if was_degraded:
             with self._health_lock:
-                self._backend_health["healthy"] = True
-                self._backend_health["consecutive_failures"] = 0
-                self._backend_health["recoveries"] += 1
-            log_event(logger, "backend recovered")
+                # a concurrent caller (or the probe) may have recovered
+                # first — count one recovery per degraded episode
+                if not self._backend_health["healthy"]:
+                    self._backend_health["healthy"] = True
+                    self._backend_health["consecutive_failures"] = 0
+                    self._backend_health["recoveries"] += 1
+                    log_event(logger, "backend recovered")
         return out
+
+    def _probe_op(self) -> None:
+        """One trivial device dispatch (compiled once, then cached)."""
+        import jax
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: x + 1)(jnp.float32(0)).block_until_ready()
+
+    def _health_probe_loop(self) -> None:
+        """Watchdog body: probe the backend every interval. A failing probe
+        marks the daemon degraded (silent-loss detection); a succeeding
+        probe in degraded state marks it recovered — both via the same
+        ``_device_call`` accounting the request path uses."""
+        while not self._stop.wait(self.health_probe_interval):
+            try:
+                self._device_call(self._probe_op)
+            except Exception:  # noqa: BLE001 — accounted for in _device_call
+                pass
 
     @staticmethod
     def _try_backend_recovery(last_error: str) -> None:

@@ -792,6 +792,58 @@ def test_backend_health_in_http_metrics(http_served, monkeypatch):
     assert "bliss_backend_recoveries_total 1" in text
 
 
+def test_health_probe_detects_loss_and_recovers_without_traffic(tmp_path):
+    """With --health-probe, a silent backend loss flips the daemon to
+    degraded within ~one interval, and recovery happens with NO client
+    requests at all — the watchdog's own dispatches do both."""
+    import time
+
+    sock = str(tmp_path / "probe.sock")
+    server = AnalysisServer(sock, health_probe_interval=0.1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    assert server.wait_ready(30)
+    try:
+        # break the probe: the watchdog must mark degraded on its own
+        server._probe_op = _boom_backend
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with server._health_lock:
+                if not server._backend_health["healthy"]:
+                    break
+            time.sleep(0.05)
+        st = request({"op": "status"}, sock)
+        assert not st["backend_health"]["healthy"]
+        assert st["backend_health"]["consecutive_failures"] >= 1
+
+        # heal the probe: the watchdog must recover, still with no traffic
+        del server._probe_op  # restore the class method
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with server._health_lock:
+                if server._backend_health["healthy"]:
+                    break
+            time.sleep(0.05)
+        st = request({"op": "status"}, sock)
+        assert st["backend_health"]["healthy"]
+        assert st["backend_health"]["recoveries"] == 1
+    finally:
+        server.stop()
+        t.join(timeout=30)
+        assert not t.is_alive()
+
+
+def test_cli_serve_health_probe_flag(tmp_path):
+    from bliss_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["serve", "--socket", str(tmp_path / "s"), "--health-probe", "45"]
+    )
+    assert args.health_probe == 45.0
+    args = build_parser().parse_args(["serve", "--socket", "s"])
+    assert args.health_probe == 0.0
+
+
 def test_is_backend_error_taxonomy():
     from bliss_tpu.server import _is_backend_error
 
