@@ -30,8 +30,15 @@ process, the bench re-execs itself (bounded) and resumes from a per-stage
 checkpoint file; and the JSON line is ALWAYS printed — failed stages
 degrade to marked fields ("device": "unavailable", "value": 0.0,
 "errors": {...}) instead of a traceback. Exit code is 0 whenever the JSON
-line was emitted. Knobs: BENCH_RETRIES, BENCH_BACKOFF_S, BENCH_EXEC_RETRIES,
-BENCH_CKPT (checkpoint path; deleted on a fully clean run).
+line was emitted. The tunnel can also HANG instead of erroring (observed:
+one device touch blocked >50 min with nothing raised), so every retry
+attempt carries a wall-clock deadline (BENCH_ATTEMPT_TIMEOUT_S, default
+1800 s; 0 disables) that converts a hang into a retryable
+DEADLINE_EXCEEDED, and a global watchdog (BENCH_GLOBAL_TIMEOUT_S, default
+5100 s; 0 disables) force-emits the JSON from the checkpoint and exits 0
+if the whole run overstays. Knobs: BENCH_RETRIES, BENCH_BACKOFF_S,
+BENCH_EXEC_RETRIES, BENCH_CKPT (checkpoint path; deleted on a fully clean
+run).
 """
 
 from __future__ import annotations
@@ -77,19 +84,57 @@ def _is_transient(e: BaseException) -> bool:
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
 
+def _deadline(fn, seconds: float, label: str):
+    """Run fn() with a hard wall-clock bound. The axon tunnel can HANG a
+    device call indefinitely (observed: >50 min on one device touch with
+    no error raised) — an error we can retry, a hang we cannot, so run the
+    attempt on a daemon thread and abandon it past the deadline. The
+    raised error matches _TRANSIENT_MARKERS, so _retry/_reexec treat it
+    exactly like a thrown UNAVAILABLE (a fresh attempt / fresh process)."""
+    import threading
+
+    box: list = []
+
+    def run():
+        try:
+            box.append(("ok", fn()))
+        except BaseException as e:  # noqa: BLE001 — re-raised by caller
+            box.append(("err", e))
+
+    t = threading.Thread(target=run, daemon=True, name=f"bench-{label}")
+    t.start()
+    t.join(seconds)
+    if not box:
+        raise RuntimeError(
+            f"DEADLINE_EXCEEDED: {label} still blocked after {seconds:.0f}s "
+            "(hung device tunnel)"
+        )
+    kind, val = box[0]
+    if kind == "err":
+        raise val
+    return val
+
+
 def _retry(fn, label: str, attempts: int | None = None,
-           backoff_s: float | None = None, transient_only: bool = True):
+           backoff_s: float | None = None, transient_only: bool = True,
+           deadline_s: float | None = None):
     """Run fn(); on transient failure sleep and retry (doubling backoff,
-    capped). Non-transient exceptions propagate immediately."""
+    capped). Non-transient exceptions propagate immediately. Each attempt
+    is wall-clock bounded (BENCH_ATTEMPT_TIMEOUT_S, default 1800 s; 0
+    disables) so a silently hung tunnel degrades like a thrown error."""
     attempts = attempts or int(os.environ.get("BENCH_RETRIES", 5))
     backoff = (
         backoff_s
         if backoff_s is not None
         else float(os.environ.get("BENCH_BACKOFF_S", 30))
     )
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 1800))
     last: BaseException | None = None
     for i in range(attempts):
         try:
+            if deadline_s:
+                return _deadline(fn, deadline_s, label)
             return fn()
         except BaseException as e:  # noqa: BLE001 — classified below
             if transient_only and not _is_transient(e):
@@ -686,11 +731,74 @@ def _signature() -> str:
     return f"{rev}|{params}"
 
 
+_EMIT_LOCK = __import__("threading").Lock()
+_EMITTED = False
+
+
+def _emit_json_once(out: dict) -> bool:
+    """Print THE one JSON line (whoever gets here first — the normal flow,
+    the fatal handler, or the global watchdog)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        _EMITTED = True
+    print(json.dumps(out))
+    sys.stdout.flush()
+    return True
+
+
+def _start_global_watchdog(ckpt: Checkpoint) -> None:
+    """Last-resort bound on total bench wall time. If the main flow is
+    still running after BENCH_GLOBAL_TIMEOUT_S (0 disables), assemble a
+    degraded JSON from whatever stages the checkpoint holds, print it, and
+    exit 0 — the driver then records a parseable artifact instead of a
+    timeout kill (round 3 lost its whole capture to one hung device_put)."""
+    import threading
+
+    limit = float(os.environ.get("BENCH_GLOBAL_TIMEOUT_S", 5100))
+    if not limit:
+        return
+
+    def fire():
+        time.sleep(limit)
+        stage = {k: v.get("value") for k, v in ckpt.stages.items()}
+        errors = {
+            k: v["error"] for k, v in ckpt.stages.items() if "error" in v
+        }
+        errors["watchdog"] = (
+            f"global timeout: bench still running after {limit:.0f}s"
+        )
+        try:
+            out = assemble_json(
+                stage.get("baseline"), stage.get("correctness"),
+                stage.get("throughput"), stage.get("hybrid"),
+                stage.get("e2e"), stage.get("kernels"), stage.get("fuzz"),
+                errors, stage.get("decode_model"),
+            )
+        except Exception as e:  # noqa: BLE001 — emit SOMETHING
+            out = {
+                "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
+                "value": 0.0, "unit": "songs/s", "vs_baseline": 0.0,
+                "device": "unavailable", "correctness_ok": False,
+                "errors": {**errors, "assemble": f"{type(e).__name__}: {e}"},
+            }
+        if _emit_json_once(out):
+            print(
+                "bench: global watchdog fired; emitted degraded JSON",
+                file=sys.stderr,
+            )
+            os._exit(0)
+
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
 def main() -> int:
     ckpt = Checkpoint(
         os.environ.get("BENCH_CKPT", "/tmp/bliss_bench_ckpt.json"),
         _signature(),
     )
+    _start_global_watchdog(ckpt)
 
     baseline = run_stage(ckpt, "baseline", measure_baseline)
     decode_model = run_stage(ckpt, "decode_model", stage_decode_model)
@@ -735,7 +843,7 @@ def main() -> int:
         baseline, correctness, throughput, hybrid, e2e, kernels, fuzz,
         errors, decode_model,
     )
-    print(json.dumps(out))
+    _emit_json_once(out)
     if not errors:
         ckpt.clear()  # clean run: never reuse stale numbers next time
     return 0
@@ -750,17 +858,15 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc()
-        print(
-            json.dumps(
-                {
-                    "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
-                    "value": 0.0,
-                    "unit": "songs/s",
-                    "vs_baseline": 0.0,
-                    "device": "unavailable",
-                    "correctness_ok": False,
-                    "errors": {"fatal": f"{type(e).__name__}: {e}"},
-                }
-            )
+        _emit_json_once(
+            {
+                "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
+                "value": 0.0,
+                "unit": "songs/s",
+                "vs_baseline": 0.0,
+                "device": "unavailable",
+                "correctness_ok": False,
+                "errors": {"fatal": f"{type(e).__name__}: {e}"},
+            }
         )
         sys.exit(0)

@@ -249,3 +249,91 @@ def test_assemble_json_fuzz_divergence_zeroes_value(bench):
     )
     assert out2["correctness_ok"] is True
     assert out2["value"] == 21000.0
+
+
+# --- hang hardening: attempt deadlines + global watchdog ---------------------
+
+
+def test_deadline_converts_hang_to_transient(bench):
+    """A device call that blocks forever must surface as a retryable
+    DEADLINE_EXCEEDED instead of hanging the bench (observed on the real
+    tunnel: one device touch blocked >50 min with nothing raised)."""
+    import time
+
+    def hangs():
+        time.sleep(60)
+
+    with pytest.raises(RuntimeError, match="DEADLINE_EXCEEDED"):
+        bench._deadline(hangs, 0.2, "t")
+    # and the raised error classifies as transient -> _retry retries it
+    try:
+        bench._deadline(hangs, 0.2, "t")
+    except RuntimeError as e:
+        assert bench._is_transient(e)
+
+
+def test_deadline_passes_results_and_errors_through(bench):
+    assert bench._deadline(lambda: 42, 5.0, "t") == 42
+    with pytest.raises(ValueError, match="boom"):
+        bench._deadline(lambda: (_ for _ in ()).throw(ValueError("boom")),
+                        5.0, "t")
+
+
+def test_retry_applies_attempt_deadline(bench):
+    """_retry with a deadline recovers when a hang clears on a later
+    attempt."""
+    import time
+
+    calls = []
+
+    def hang_once():
+        calls.append(1)
+        if len(calls) == 1:
+            time.sleep(60)
+        return "ok"
+
+    assert bench._retry(
+        hang_once, "t", attempts=3, backoff_s=0, deadline_s=0.3
+    ) == "ok"
+    assert len(calls) == 2
+
+
+def test_emit_json_once_is_exactly_once(bench, capsys):
+    bench._EMITTED = False  # reset module state for the test
+    assert bench._emit_json_once({"value": 1.0})
+    assert not bench._emit_json_once({"value": 2.0})
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and json.loads(out[0])["value"] == 1.0
+    bench._EMITTED = False
+
+
+def test_watchdog_emits_degraded_json_from_checkpoint(bench, tmp_path,
+                                                      monkeypatch, capsys):
+    """If the whole bench overstays the global timeout, the watchdog prints
+    a parseable degraded JSON assembled from completed stages and exits 0.
+    (os._exit is stubbed; firing logic runs for real.)"""
+    import time
+
+    monkeypatch.setenv("BENCH_GLOBAL_TIMEOUT_S", "0.2")
+    exited = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exited.append(code))
+    bench._EMITTED = False
+    ckpt = bench.Checkpoint(str(tmp_path / "ck.json"), "sig")
+    ckpt.put("baseline", {"cpu_analysis_songs_per_sec": 20.0,
+                          "cpu_e2e_songs_per_sec": 18.0})
+    bench._start_global_watchdog(ckpt)
+    deadline = time.time() + 10
+    while not exited and time.time() < deadline:
+        time.sleep(0.05)
+    assert exited == [0]
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["value"] == 0.0 and out["device"] == "unavailable"
+    assert "watchdog" in out["errors"]
+    bench._EMITTED = False
+
+
+def test_watchdog_disabled_by_zero(bench, monkeypatch):
+    monkeypatch.setenv("BENCH_GLOBAL_TIMEOUT_S", "0")
+    ckpt = bench.Checkpoint("/tmp/nonexistent-ck.json", "sig")
+    bench._start_global_watchdog(ckpt)  # must return without a thread
