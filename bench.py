@@ -47,6 +47,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -91,8 +92,6 @@ def _deadline(fn, seconds: float, label: str):
     attempt on a daemon thread and abandon it past the deadline. The
     raised error matches _TRANSIENT_MARKERS, so _retry/_reexec treat it
     exactly like a thrown UNAVAILABLE (a fresh attempt / fresh process)."""
-    import threading
-
     box: list = []
 
     def run():
@@ -731,7 +730,7 @@ def _signature() -> str:
     return f"{rev}|{params}"
 
 
-_EMIT_LOCK = __import__("threading").Lock()
+_EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
 
@@ -754,8 +753,6 @@ def _start_global_watchdog(ckpt: Checkpoint) -> None:
     degraded JSON from whatever stages the checkpoint holds, print it, and
     exit 0 — the driver then records a parseable artifact instead of a
     timeout kill (round 3 lost its whole capture to one hung device_put)."""
-    import threading
-
     limit = float(os.environ.get("BENCH_GLOBAL_TIMEOUT_S", 5100))
     if not limit:
         return

@@ -405,9 +405,10 @@ class AnalysisServer:
                     self._backend_health["last_failure_unix"] = round(
                         time.time(), 1
                     )
+                    consecutive = self._backend_health["consecutive_failures"]
                 log_event(
                     logger, "backend lost", error=str(e),
-                    consecutive=self._backend_health["consecutive_failures"],
+                    consecutive=consecutive,
                 )
             raise
         if was_degraded:
@@ -422,11 +423,13 @@ class AnalysisServer:
         return out
 
     def _probe_op(self) -> None:
-        """One trivial device dispatch (compiled once, then cached)."""
+        """One compile-free device round-trip (host->device->host). A jitted
+        op would re-trace per probe and can bind a dead backend's
+        executable; a plain transfer exercises exactly the path that breaks
+        when the tunnel drops."""
         import jax
-        import jax.numpy as jnp
 
-        jax.jit(lambda x: x + 1)(jnp.float32(0)).block_until_ready()
+        np.asarray(jax.device_put(np.float32(1.0)))
 
     def _health_probe_loop(self) -> None:
         """Watchdog body: probe the backend every interval. A failing probe
