@@ -9,8 +9,8 @@ Supersedes the reference's example programs (SURVEY.md §2):
   scan           — batch-analyze a library to CSV with resume + progress
                    (reference: python/examples/analyze_gui.py, sans GTK)
   radio          — k-means auto-playlists over the library (new capability)
-  store          — feature-store stats / compact / export / prune
-                   (new capability)
+  store          — feature-store stats / compact / export / prune /
+                   neighbors / dupes (new capability)
   gui            — tkinter library scanner (reference: python/examples/analyze_gui.py)
   version        — framework + native decoder versions
 
@@ -445,6 +445,44 @@ def cmd_store(args) -> int:
         if args.output != "-":
             print(f"wrote {len(names)} x top-{k} neighbors -> {args.output}")
         return 0
+    if args.action == "dupes":
+        # perceptual duplicates from the warm store: pairs closer than
+        # --threshold in force-vector space. Bit-identical copies never
+        # even appear here (the store is content-keyed, so they collapse
+        # to one entry) — this finds different ENCODINGS/masters of the
+        # same recording (e.g. the s16 vs s32 fixtures sit ~0.73 apart;
+        # unrelated songs are many units apart). One MXU matmul + top-k,
+        # zero re-analysis.
+        from bliss_tpu.sim import nearest_neighbors_all
+        from bliss_tpu.store import similarity_rows
+
+        names, feats = similarity_rows(store)
+        if len(names) < 2:
+            print("need at least 2 store entries", file=sys.stderr)
+            return 2
+        k = min(max(args.top_k, 1), len(names) - 1)
+        dists, idx = (np.asarray(x) for x in nearest_neighbors_all(feats, k))
+        pairs: dict[tuple[int, int], float] = {}
+        for i in range(len(names)):
+            for j in range(k):
+                d = float(dists[i, j])
+                if d <= args.threshold:
+                    a, b = sorted((i, int(idx[i, j])))
+                    pairs[(a, b)] = min(d, pairs.get((a, b), np.inf))
+        out = sys.stdout if args.output == "-" else open(
+            args.output, "w", newline=""
+        )
+        try:
+            w = csv.writer(out, delimiter=";")
+            w.writerow(["song_a", "song_b", "distance"])
+            for (a, b), d in sorted(pairs.items(), key=lambda kv: kv[1]):
+                w.writerow([names[a], names[b], f"{d:f}"])
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        if args.output != "-":
+            print(f"wrote {len(pairs)} candidate pair(s) -> {args.output}")
+        return 0
     if args.action == "prune":
         # drop entries whose source file no longer exists on disk; entries
         # with no recorded filename (pre-metadata stores) are kept
@@ -559,11 +597,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     st.add_argument(
         "--top-k", type=int, default=5,
-        help="neighbors: how many nearest songs per entry",
+        help="neighbors/dupes: how many nearest songs per entry to consider",
+    )
+    st.add_argument(
+        "--threshold", type=float, default=1.0,
+        help="dupes: max force-vector distance to call a pair duplicates "
+        "(identical audio = 0; re-encodes/remasters land well under 1; "
+        "unrelated songs are many units apart)",
     )
     st.add_argument(
         "action",
-        choices=["stats", "compact", "export", "prune", "neighbors"],
+        choices=["stats", "compact", "export", "prune", "neighbors", "dupes"],
     )
     st.add_argument("store", help="store directory")
     st.set_defaults(fn=cmd_store)

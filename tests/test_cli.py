@@ -373,3 +373,49 @@ def test_cli_platform_flag_subprocess_fresh_process(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "bliss-tpu" in r.stdout
+
+
+def test_cli_store_dupes(tmp_path, capsys):
+    """`store dupes` surfaces perceptual-duplicate pairs (near-zero
+    force-vector distance) from the warm store, nearest first, and honors
+    --threshold."""
+    from bliss_tpu.cli import main
+    from bliss_tpu.store import FeatureStore
+
+    store_dir = str(tmp_path / "store")
+    s = FeatureStore(store_dir)
+    s.put("k1", np.array([0.10, -1.0, 2.0, -0.5], np.float32),
+          {"filename": "a.flac"})
+    s.put("k2", np.array([0.12, -1.0, 2.0, -0.5], np.float32),
+          {"filename": "a_remaster.flac"})  # 0.02 from k1
+    s.put("k3", np.array([5.0, 3.0, -4.0, 2.0], np.float32),
+          {"filename": "other.flac"})      # far from both
+    s.flush()
+
+    assert main(["store", "dupes", store_dir]) == 0
+    rows = [r.split(";") for r in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows[0] == ["song_a", "song_b", "distance"]
+    assert len(rows) == 2  # exactly one candidate pair
+    assert {rows[1][0], rows[1][1]} == {"a.flac", "a_remaster.flac"}
+    # f32 |a|^2+|b|^2-2ab matmul form: small absolute error is expected
+    assert float(rows[1][2]) == pytest.approx(0.02, abs=1e-3)
+
+    # a tight threshold excludes even the near pair
+    assert main(["store", "--threshold", "0.001", "dupes", store_dir]) == 0
+    rows = capsys.readouterr().out.strip().splitlines()
+    assert len(rows) == 1  # header only
+
+    # file output
+    out_csv = str(tmp_path / "d.csv")
+    assert main(["store", "dupes", store_dir, "-o", out_csv]) == 0
+    capsys.readouterr()
+    with open(out_csv) as f:
+        assert len(f.read().strip().splitlines()) == 2
+
+    # <2 entries is a usage error
+    lone = str(tmp_path / "lone")
+    s2 = FeatureStore(lone)
+    s2.put("only", np.zeros(4, np.float32), {"filename": "x"})
+    s2.flush()
+    assert main(["store", "dupes", lone]) == 2
