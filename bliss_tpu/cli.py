@@ -12,6 +12,8 @@ Supersedes the reference's example programs (SURVEY.md §2):
   store          — feature-store stats / compact / export / prune /
                    neighbors / dupes (new capability)
   gui            — tkinter library scanner (reference: python/examples/analyze_gui.py)
+  doctor         — environment diagnosis with bounded device probes
+                   (new capability)
   version        — framework + native decoder versions
 
 Run: python -m bliss_tpu.cli <command> ...
@@ -510,6 +512,118 @@ def cmd_version(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Diagnose the runtime environment: native build, decode round-trip,
+    backend acquisition (bounded — remote tunnels can HANG rather than
+    error), device dispatch latency, optional store health. Exit 0 iff
+    every check passes."""
+    import threading
+
+    failures = 0
+
+    def check(name, fn, detail_fmt=str):
+        nonlocal failures
+        try:
+            detail = fn()
+        except Exception as e:  # noqa: BLE001 — each check reports its own
+            failures += 1
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+        else:
+            print(f"  ok {name}: {detail_fmt(detail)}")
+
+    def bounded(fn, seconds):
+        """Run fn on a side thread with a wall-clock bound: a hung remote
+        device must FAIL the check, not wedge the doctor."""
+        box = []
+
+        def run():
+            try:
+                box.append(("ok", fn()))
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                box.append(("err", e))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(seconds)
+        if not box:
+            raise TimeoutError(
+                f"still blocked after {seconds:.0f}s (hung device tunnel?)"
+            )
+        kind, val = box[0]
+        if kind == "err":
+            raise val
+        return val
+
+    import bliss_tpu
+
+    print(f"bliss-tpu {bliss_tpu.version()}")
+
+    def _native():
+        from bliss_tpu.io import native_version
+
+        return native_version()
+
+    check("native decoder build", _native)
+
+    def _roundtrip():
+        import tempfile
+
+        from bliss_tpu.io import decode
+        from bliss_tpu.io.flac_writer import write_flac
+
+        pcm = (np.random.RandomState(0).randn(22050, 2) * 3000).astype(
+            np.int16
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            p = os.path.join(tmp, "doctor.flac")
+            write_flac(p, pcm, 22050)
+            d = decode(p)
+        if d.sample_rate != 22050 or d.n_samples < 2 * 22050:
+            raise RuntimeError(
+                f"decode mismatch: rate={d.sample_rate} n={d.n_samples}"
+            )
+        return f"1s FLAC encode->decode ({d.n_samples} samples)"
+
+    check("decode round-trip", _roundtrip)
+
+    def _backend():
+        import jax
+
+        return bounded(
+            lambda: f"{jax.default_backend()} ({jax.device_count()} device(s))",
+            args.timeout,
+        )
+
+    check("backend acquisition", _backend)
+
+    def _dispatch():
+        import time
+
+        import jax
+
+        def once():
+            t0 = time.time()
+            np.asarray(jax.device_put(np.float32(1.0)))
+            return f"host->device->host in {(time.time() - t0) * 1e3:.1f} ms"
+
+        return bounded(once, args.timeout)
+
+    check("device dispatch", _dispatch)
+
+    if args.store:
+        def _store():
+            from bliss_tpu.store import FeatureStore
+
+            store = FeatureStore(args.store)
+            return f"{len(store)} entr{'y' if len(store) == 1 else 'ies'}"
+
+        check("feature store", _store)
+
+    print("all checks passed" if not failures
+          else f"{failures} check(s) FAILED")
+    return 0 if not failures else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bliss-tpu", description="TPU-native music analysis"
@@ -616,6 +730,18 @@ def build_parser() -> argparse.ArgumentParser:
         "gui", help="tkinter library scanner (the reference's GTK GUI)"
     )
     gu.set_defaults(fn=cmd_gui)
+
+    dr = sub.add_parser(
+        "doctor",
+        help="diagnose the environment: native build, decode round-trip, "
+        "bounded backend/dispatch probes, store health",
+    )
+    dr.add_argument(
+        "--timeout", type=float, default=60.0,
+        help="seconds before a device probe is declared hung",
+    )
+    dr.add_argument("--store", default=None, help="also check this store")
+    dr.set_defaults(fn=cmd_doctor)
 
     sv = sub.add_parser(
         "serve",

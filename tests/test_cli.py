@@ -419,3 +419,46 @@ def test_cli_store_dupes(tmp_path, capsys):
     s2.put("only", np.zeros(4, np.float32), {"filename": "x"})
     s2.flush()
     assert main(["store", "dupes", lone]) == 2
+
+
+def test_cli_doctor_all_green(capsys, tmp_path):
+    """doctor on a healthy CPU environment: every check ok, exit 0."""
+    from bliss_tpu.cli import main
+    from bliss_tpu.store import FeatureStore
+
+    store_dir = str(tmp_path / "store")
+    s = FeatureStore(store_dir)
+    s.put("k", np.zeros(4, np.float32), {"filename": "x"})
+    s.flush()
+    rc = main(["doctor", "--store", store_dir])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "all checks passed" in out
+    assert "ok native decoder build" in out
+    assert "ok decode round-trip" in out
+    assert "ok backend acquisition: cpu" in out
+    assert "ok device dispatch" in out
+    assert "ok feature store: 1 entry" in out
+
+
+def test_cli_doctor_hung_device_fails_cleanly(capsys, monkeypatch):
+    """A hung device probe must FAIL the check within --timeout instead of
+    wedging the doctor (the remote-tunnel hang mode)."""
+    import time
+
+    import jax
+
+    from bliss_tpu.cli import main
+
+    real_put = jax.device_put
+    monkeypatch.setattr(
+        jax, "device_put", lambda *a, **k: time.sleep(3600)
+    )
+    try:
+        rc = main(["doctor", "--timeout", "0.3"])
+    finally:
+        monkeypatch.setattr(jax, "device_put", real_put)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL device dispatch" in out and "blocked after" in out
+    assert "1 check(s) FAILED" in out
