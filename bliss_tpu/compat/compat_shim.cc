@@ -20,7 +20,11 @@
 #include "include/bliss.h"
 
 #include <Python.h>
+#ifdef _WIN32
+#include <windows.h>
+#else
 #include <dlfcn.h>
+#endif
 
 #include <cmath>
 #include <string>
@@ -106,16 +110,36 @@ void init_python() {
     // Make the bliss_tpu package importable: walk up from this shared
     // object (bliss_tpu/compat/libbliss.so -> repo root).
     if (!getenv("BLISS_TPU_ROOT")) {
+      std::string p;
+#ifdef _WIN32
+      HMODULE mod = nullptr;
+      if (GetModuleHandleExA(GET_MODULE_HANDLE_EX_FLAG_FROM_ADDRESS |
+                                 GET_MODULE_HANDLE_EX_FLAG_UNCHANGED_REFCOUNT,
+                             reinterpret_cast<LPCSTR>(&init_python), &mod)) {
+        char buf[MAX_PATH];
+        DWORD len = GetModuleFileNameA(mod, buf, MAX_PATH);
+        if (len > 0 && len < MAX_PATH) p.assign(buf, len);
+      }
+#else
       Dl_info info;
       if (dladdr(reinterpret_cast<void *>(&init_python), &info) &&
           info.dli_fname) {
-        std::string p(info.dli_fname);
+        p = info.dli_fname;
+      }
+#endif
+      if (!p.empty()) {
         for (int up = 0; up < 3; ++up) {
-          size_t slash = p.find_last_of('/');
+          size_t slash = p.find_last_of("/\\");
           if (slash == std::string::npos) break;
           p.resize(slash);
         }
-        if (!p.empty()) setenv("BLISS_TPU_ROOT", p.c_str(), 0);
+      }
+      if (!p.empty()) {
+#ifdef _WIN32
+        _putenv_s("BLISS_TPU_ROOT", p.c_str());
+#else
+        setenv("BLISS_TPU_ROOT", p.c_str(), 0);
+#endif
       }
     }
     if (!Py_IsInitialized()) Py_InitializeEx(0);

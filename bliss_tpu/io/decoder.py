@@ -20,9 +20,24 @@ from typing import Iterable, Sequence
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+# The Makefile always names the library .so; the CMake build uses the
+# platform convention (.so/.dylib/libblisstpu_io.dll — PREFIX "lib" is
+# pinned in CMakeLists.txt so only the suffix varies).
+_LIB_SUFFIXES = (".so", ".dylib", ".dll")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libblisstpu_io.so")
 _build_lock = threading.Lock()
 _lib = None
+
+
+def _find_lib(directory: str) -> str | None:
+    """First existing library candidate in `directory` (any suffix), also
+    probing a cmake `build/` subdir (and its Release/ on multi-config)."""
+    for sub in ("", "build", os.path.join("build", "Release")):
+        for suffix in _LIB_SUFFIXES:
+            p = os.path.join(directory, sub, "libblisstpu_io" + suffix)
+            if os.path.exists(p):
+                return p
+    return None
 
 
 class DecodeError(RuntimeError):
@@ -89,10 +104,39 @@ class _BtDecoded(ctypes.Structure):
 
 
 def _is_stale(src: str) -> bool:
-    return not os.path.exists(_LIB_PATH) or (
+    lib = _find_lib(_NATIVE_DIR)
+    return lib is None or (
         os.path.exists(src)
-        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        and os.path.getmtime(src) > os.path.getmtime(lib)
     )
+
+
+def _build_native(directory: str) -> str:
+    """Build the decoder in `directory`: make on POSIX, cmake fallback when
+    make is unavailable (Windows, minimal containers). Returns the built
+    library path."""
+    try:
+        subprocess.run(
+            ["make", "-C", directory], check=True, capture_output=True
+        )
+    except FileNotFoundError:
+        build = os.path.join(directory, "build")
+        subprocess.run(
+            ["cmake", "-S", directory, "-B", build],
+            check=True,
+            capture_output=True,
+        )
+        subprocess.run(
+            ["cmake", "--build", build, "--config", "Release"],
+            check=True,
+            capture_output=True,
+        )
+    lib = _find_lib(directory)
+    if lib is None:
+        raise DecodeError(
+            f"native decoder build produced no library in {directory}"
+        )
+    return lib
 
 
 def _cache_build_dir() -> str:
@@ -103,7 +147,7 @@ def _cache_build_dir() -> str:
     import shutil
 
     h = hashlib.sha1()
-    for name in ("decoder.cc", "Makefile"):  # Makefile changes rebuild too
+    for name in ("decoder.cc", "Makefile", "CMakeLists.txt"):
         with open(os.path.join(_NATIVE_DIR, name), "rb") as f:
             h.update(f.read())
     tag = h.hexdigest()[:12]
@@ -141,22 +185,16 @@ def _ensure_built() -> str:
         if _is_stale(src):
             with _build_lock:
                 if _is_stale(src):
-                    subprocess.run(
-                        ["make", "-C", _NATIVE_DIR],
-                        check=True,
-                        capture_output=True,
-                    )
-        return _LIB_PATH
-    if os.path.exists(_LIB_PATH):  # prebuilt by the wheel's build hook
-        return _LIB_PATH
+                    _build_native(_NATIVE_DIR)
+        return _find_lib(_NATIVE_DIR) or _LIB_PATH
+    prebuilt = _find_lib(_NATIVE_DIR)
+    if prebuilt:  # prebuilt by the wheel's build hook
+        return prebuilt
     d = _cache_build_dir()
-    lib = os.path.join(d, "libblisstpu_io.so")
-    if not os.path.exists(lib):
+    lib = _find_lib(d)
+    if lib is None:
         with _build_lock:
-            if not os.path.exists(lib):
-                subprocess.run(
-                    ["make", "-C", d], check=True, capture_output=True
-                )
+            lib = _find_lib(d) or _build_native(d)
     return lib
 
 

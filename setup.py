@@ -21,9 +21,22 @@ class build_py_with_native(build_py):
         super().run()
         native = os.path.join(self.build_lib, "bliss_tpu", "io", "_native")
         try:
-            subprocess.run(
-                ["make", "-C", native], check=True, capture_output=True
-            )
+            try:
+                subprocess.run(
+                    ["make", "-C", native], check=True, capture_output=True
+                )
+            except FileNotFoundError:  # no make (Windows): cmake fallback
+                build = os.path.join(native, "build")
+                subprocess.run(
+                    ["cmake", "-S", native, "-B", build],
+                    check=True,
+                    capture_output=True,
+                )
+                subprocess.run(
+                    ["cmake", "--build", build, "--config", "Release"],
+                    check=True,
+                    capture_output=True,
+                )
             print("built native decoder into the wheel")
         except Exception as e:  # noqa: BLE001 — degrade to runtime build
             print(

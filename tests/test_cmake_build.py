@@ -1,0 +1,109 @@
+"""The portable CMake build produces working, bit-identical native libs.
+
+The Makefiles are the fast POSIX path; CMakeLists.txt is the portable /
+system-install path (mirrors the reference's CMake install intent,
+reference: CMakeLists.txt:96-110). This builds both libraries from the
+root CMakeLists into a temp dir, decodes a fixture through the cmake-built
+decoder, and checks the MD5 oracle plus the install layout.
+"""
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("cmake") is None, reason="cmake not available"
+)
+
+
+@pytest.fixture(scope="module")
+def cmake_build(tmp_path_factory):
+    build = tmp_path_factory.mktemp("cmk")
+    gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+    subprocess.run(
+        ["cmake", "-S", REPO, "-B", str(build), *gen],
+        check=True,
+        capture_output=True,
+    )
+    subprocess.run(
+        ["cmake", "--build", str(build), "--config", "Release"],
+        check=True,
+        capture_output=True,
+    )
+    return build
+
+
+def test_cmake_decoder_md5_parity(cmake_build, fixture_dir):
+    from bliss_tpu.io import decoder as D
+
+    lib_path = None
+    for sub in ("", "Release"):
+        p = cmake_build / "bliss_tpu" / "io" / "_native" / sub
+        for name in os.listdir(p) if p.is_dir() else []:
+            if name.startswith("libblisstpu_io"):
+                lib_path = str(p / name)
+    assert lib_path, "cmake build produced no decoder library"
+
+    lib = ctypes.CDLL(lib_path)
+    lib.bt_decode.argtypes = [ctypes.c_char_p, ctypes.POINTER(D._BtDecoded)]
+    lib.bt_decode.restype = ctypes.c_int
+    lib.bt_free_decoded.argtypes = [ctypes.POINTER(D._BtDecoded)]
+    lib.bt_free_decoded.restype = None
+
+    out = D._BtDecoded()
+    path = os.path.join(fixture_dir, "song.flac")
+    rc = lib.bt_decode(path.encode(), ctypes.byref(out))
+    assert rc == 0
+    buf = ctypes.cast(
+        out.samples, ctypes.POINTER(ctypes.c_int16 * out.n_samples)
+    ).contents
+    md5 = hashlib.md5(bytes(buf)).hexdigest()
+    lib.bt_free_decoded(ctypes.byref(out))
+    assert md5 == "8a1bd824951c0433cc47fec5bf41d0a9"
+
+
+def test_cmake_install_layout(cmake_build, tmp_path):
+    prefix = tmp_path / "prefix"
+    subprocess.run(
+        ["cmake", "--install", str(cmake_build), "--prefix", str(prefix)],
+        check=True,
+        capture_output=True,
+    )
+    installed = {
+        os.path.relpath(os.path.join(root, f), prefix)
+        for root, _, files in os.walk(prefix)
+        for f in files
+    }
+    assert any("bliss.h" in f for f in installed)
+    assert any("libbliss" in f and "io" not in f for f in installed)
+    assert any("libblisstpu_io" in f for f in installed)
+
+
+def test_build_native_cmake_fallback(tmp_path, monkeypatch):
+    """decoder._build_native falls back to cmake when make is missing."""
+    from bliss_tpu.io import decoder as D
+
+    native = tmp_path / "native"
+    native.mkdir()
+    for name in ("decoder.cc", "CMakeLists.txt"):
+        shutil.copy(os.path.join(D._NATIVE_DIR, name), native / name)
+    # No Makefile in the dir and make "not found": force the fallback.
+    real_run = subprocess.run
+
+    def fake_run(cmd, *a, **kw):
+        if cmd and cmd[0] == "make":
+            raise FileNotFoundError("make")
+        return real_run(cmd, *a, **kw)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    lib = D._build_native(str(native))
+    assert os.path.exists(lib)
+    handle = ctypes.CDLL(lib)
+    handle.bt_version.restype = ctypes.c_char_p
+    assert b"bliss-tpu-io" in handle.bt_version()
