@@ -161,9 +161,14 @@ def analyze_batch_ext_jit(batch: PCMBatch, cfg: AnalysisConfig):
     from bliss_tpu.features.tempo import envelope_scores_from_energies
 
     amplitude, frequency, fa = _device_stage(batch, cfg)
-    tempo, attack = envelope_scores_from_energies(batch, fa, cfg)
+    # One envelope chain: the aux hands the core's beat detection to the
+    # extended bpm/beat_loudness columns, so they can never disagree with
+    # the tempo score in the same row (and the dd chain isn't run twice).
+    tempo, attack, aux = envelope_scores_from_energies(
+        batch, fa, cfg, return_aux=True
+    )
     core = jnp.stack([tempo, amplitude, frequency, attack], axis=1)
-    ext = extended_features(batch, cfg, fa=fa)
+    ext = extended_features(batch, cfg, fa=fa, beat_aux=aux)
     return jnp.concatenate([core.astype(jnp.float32), ext], axis=1)
 
 

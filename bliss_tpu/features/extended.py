@@ -98,13 +98,19 @@ def dct_ii_matrix(n_in: int = N_MELS, n_out: int = N_MFCC) -> np.ndarray:
 
 
 def extended_features(
-    batch: PCMBatch, cfg: AnalysisConfig = DEFAULT, fa: jnp.ndarray | None = None
+    batch: PCMBatch, cfg: AnalysisConfig = DEFAULT,
+    fa: jnp.ndarray | None = None, beat_aux=None,
 ) -> jnp.ndarray:
     """[B, len(EXTENDED_FEATURE_NAMES)] float32 feature matrix.
 
     ``fa``: optional precomputed tempo band energies [B, NB, NBF] (from the
     core analysis) so the FLOP-heavy front-end isn't run twice when core +
-    extended features are computed together."""
+    extended features are computed together.
+
+    ``beat_aux``: optional ``(beat, r2, peaks, mid)`` from the core
+    envelope finish (envelope_scores_from_energies(return_aux=True)) so
+    bpm/beat_loudness derive from the exact same beat detection as the
+    core tempo score instead of re-running the envelope chain."""
     dtype = cfg.jnp_dtype
     W = C.WINDOW_SIZE
     B, L = batch.samples.shape
@@ -190,7 +196,7 @@ def extended_features(
 
     if fa is None:
         fa = band_energies(batch, cfg)
-    bpm, beat_loud = beat_metrics(fa, n, batch.durations, cfg)
+    bpm, beat_loud = beat_metrics(fa, n, batch.durations, cfg, aux=beat_aux)
 
     # chromagram: pitch-class projection of the accumulated power spectrum,
     # normalized to sum 1 per song

@@ -160,10 +160,17 @@ def envelope_scores(
 
 
 def envelope_scores_from_energies(
-    batch: PCMBatch, fa: jnp.ndarray, cfg: AnalysisConfig
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Envelope finish from precomputed band energies fa [B, NB, NBF]."""
-    return envelope_finish_device(fa, batch.n_samples, batch.durations, cfg)
+    batch: PCMBatch, fa: jnp.ndarray, cfg: AnalysisConfig,
+    return_aux: bool = False,
+):
+    """Envelope finish from precomputed band energies fa [B, NB, NBF].
+
+    With ``return_aux`` also returns the beat-detection aux
+    ``(beat, r2, peaks, mid)`` so extended features share it (one envelope
+    chain per program — see beat_metrics)."""
+    return envelope_finish_device(
+        fa, batch.n_samples, batch.durations, cfg, return_aux=return_aux
+    )
 
 
 def _envelope_pipeline(fa, n, cfg):
@@ -208,8 +215,9 @@ def _envelope_pipeline(fa, n, cfg):
 
 
 def envelope_finish_device(
-    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray, cfg: AnalysisConfig
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray,
+    cfg: AnalysisConfig, return_aux: bool = False,
+):
     """On-device envelope finish: fa [B, NB, NBF], n/durations [B] ->
     ([B] tempo, [B] attack) in float32. Shared by the single-device and
     sharded (parallel/mesh.py) paths.
@@ -217,11 +225,17 @@ def envelope_finish_device(
     tempo_finish="device_exact" routes to the double-single implementation
     (features/tempo_exact.py) — float64-grade beat exactness with only f32
     device ops; "device" is the plain working-dtype finish (epsilon-marginal
-    peaks may flip in float32)."""
+    peaks may flip in float32).
+
+    With ``return_aux`` also returns ``(beat, r2, peaks, mid)`` — the beat
+    count, smoothed envelope, full-length peak mask and valid-range mask —
+    from the SAME detection that produced the tempo score."""
     if cfg.tempo_finish == "device_exact":
         from bliss_tpu.features.tempo_exact import envelope_finish_device_exact
 
-        return envelope_finish_device_exact(fa, n, durations, cfg)
+        return envelope_finish_device_exact(
+            fa, n, durations, cfg, return_aux=return_aux
+        )
     dtype = cfg.jnp_dtype
     wa, wa_edges, ss_src, last_excluded, j, n2 = _envelope_pipeline(fa, n, cfg)
 
@@ -230,7 +244,16 @@ def envelope_finish_device(
         wa * last_excluded[:, None, :].astype(dtype), axis=(1, 2)
     )
 
-    beat = _count_beats(ss_src, wa_edges, last_excluded, j, n2, cfg)
+    if return_aux:
+        beat, (r2, peaks_inner, mid) = _count_beats(
+            ss_src, wa_edges, last_excluded, j, n2, cfg, return_aux=True
+        )
+        # peaks from _count_beats cover r2[:, 1:-1]; pad to full length so
+        # every caller sees one aux layout (matches tempo_exact's aux)
+        peaks = jnp.pad(peaks_inner, ((0, 0), (1, 1)))
+        aux = (beat, r2, peaks, mid)
+    else:
+        beat = _count_beats(ss_src, wa_edges, last_excluded, j, n2, cfg)
 
     dur = durations.astype(dtype)
     tempo = (
@@ -241,6 +264,8 @@ def envelope_finish_device(
         jnp.asarray(C.ATTACK_SCALE, dtype) * atk_sum / n.astype(dtype)
         + jnp.asarray(C.ATTACK_BIAS, dtype)
     )
+    if return_aux:
+        return tempo.astype(jnp.float32), attack.astype(jnp.float32), aux
     return tempo.astype(jnp.float32), attack.astype(jnp.float32)
 
 
@@ -356,7 +381,8 @@ def _count_beats(ss_src, wa, last_excluded, j, n2, cfg, return_aux=False):
 
 
 def beat_metrics(
-    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray, cfg: AnalysisConfig
+    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray,
+    cfg: AnalysisConfig, aux=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Extended ROADMAP beat features from band energies fa [B, NB, NBF]:
     ([B] bpm, [B] beat_loudness), float32.
@@ -368,12 +394,23 @@ def beat_metrics(
     positions relative to the mean envelope over the valid range — >1 means
     beats stand out of the envelope, ~1 a flat envelope (reference
     ROADMAP.md "Beat loudness").
+
+    ``aux``: precomputed ``(beat, r2, peaks, mid)`` from the core finish
+    (envelope_finish_device(return_aux=True)) so core + extended share one
+    envelope chain. When absent it is computed here through the SAME
+    cfg-selected implementation the core tempo uses — under
+    tempo_finish="device_exact" a plain-f32 pipeline loses the <1e-6
+    envelope precision the epsilon peak detector needs and counts beats
+    the core does not (caught by the extended differential fuzz, round 4:
+    bpm disagreed with the core tempo score by 1-2 beats within one
+    program).
     """
     dtype = cfg.jnp_dtype
-    _, wa_edges, ss_src, last_excluded, j, n2 = _envelope_pipeline(fa, n, cfg)
-    beat, (r2, peaks, mid) = _count_beats(
-        ss_src, wa_edges, last_excluded, j, n2, cfg, return_aux=True
-    )
+    if aux is None:
+        _, _, aux = envelope_finish_device(
+            fa, n, durations, cfg, return_aux=True
+        )
+    beat, r2, peaks, mid = aux
     bpm = 60.0 * beat.astype(dtype) / durations.astype(dtype)
     # duration<=0 songs: the CORE tempo=inf is pinned reference behavior,
     # but the extended columns are a new surface — report 0 instead of
@@ -385,7 +422,7 @@ def beat_metrics(
     )
     pk = peaks.astype(dtype)
     peak_mean = jnp.sum(
-        jnp.where(peaks, r2[:, 1:-1], 0.0), axis=1
+        jnp.where(peaks, r2, 0.0), axis=1
     ) / jnp.maximum(jnp.sum(pk, axis=1), 1.0)
     midf = mid.astype(dtype)
     env_mean = jnp.sum(jnp.where(mid, r2, 0.0), axis=1) / jnp.maximum(
@@ -411,6 +448,30 @@ def _box_sum_host(x, width):
     ) * width
 
 
+def beat_cols_from_host_aux(aux, durations):
+    """([B] bpm, [B] beat_loudness) float32 from envelope_finish_host's
+    ``return_aux`` triple ``(r2, peaks, mid)`` (peaks covers r2[:, 1:-1]).
+    The float64 host analog of beat_metrics(aux=...): the hybrid paths use
+    it to derive the extended beat columns from the SAME host envelope
+    finish that produced the core tempo score, so the two never disagree
+    within a row."""
+    import numpy as np
+
+    r2, peaks, mid = aux
+    dur = np.asarray(durations, np.float64)
+    beat = peaks.sum(axis=1)
+    bpm = 60.0 * beat / np.where(dur > 0, dur, np.inf)
+    pk_vals = np.where(peaks, r2[:, 1:-1], 0.0)
+    peak_mean = pk_vals.sum(axis=1) / np.maximum(beat, 1.0)
+    env_mean = np.where(mid, r2, 0.0).sum(axis=1) / np.maximum(
+        mid.sum(axis=1), 1.0
+    )
+    loud = peak_mean / np.maximum(env_mean, 1e-12)
+    loud = np.where(np.isfinite(loud), loud, 0.0)
+    bpm = np.where(np.isfinite(bpm), bpm, 0.0)
+    return bpm.astype(np.float32), loud.astype(np.float32)
+
+
 def beat_metrics_host(fa, n_samples, durations):
     """Float64 host version of beat_metrics (bpm, beat_loudness) for the
     streaming path: [*, NB, NBF] energies -> ([B] bpm, [B] beat_loudness).
@@ -424,17 +485,7 @@ def beat_metrics_host(fa, n_samples, durations):
     n = np.asarray(n_samples, np.int64)
     dur = np.asarray(durations, np.float64)
     _, _, aux = envelope_finish_host(fa, n, dur, workers=1, return_aux=True)
-    r2, peaks, mid = aux
-    beat = peaks.sum(axis=1)
-    bpm = 60.0 * beat / np.where(dur > 0, dur, np.inf)
-    pk_vals = np.where(peaks, r2[:, 1:-1], 0.0)
-    peak_mean = pk_vals.sum(axis=1) / np.maximum(beat, 1.0)
-    env_mean = np.where(mid, r2, 0.0).sum(axis=1) / np.maximum(
-        mid.sum(axis=1), 1.0
-    )
-    loud = peak_mean / np.maximum(env_mean, 1e-12)
-    loud = np.where(np.isfinite(loud), loud, 0.0)
-    return bpm.astype(np.float32), loud.astype(np.float32)
+    return beat_cols_from_host_aux(aux, dur)
 
 
 def envelope_finish_host(

@@ -89,10 +89,17 @@ def _box_sum(x, width: int):
 
 
 def envelope_finish_device_exact(
-    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray, cfg: AnalysisConfig
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    fa: jnp.ndarray, n: jnp.ndarray, durations: jnp.ndarray,
+    cfg: AnalysisConfig, return_aux: bool = False,
+):
     """fa [B, NB, NBF] band energies, n/durations [B] ->
-    ([B] tempo, [B] attack) float32, with float64-grade beat exactness."""
+    ([B] tempo, [B] attack) float32, with float64-grade beat exactness.
+
+    With ``return_aux`` also returns ``(beat, r2_hi, peaks, mid)`` — the
+    exact beat count, the smoothed envelope (hi component, f32), the
+    full-length peak mask and the valid-envelope mask — so the extended
+    bpm/beat-loudness columns derive from the SAME beat detection as the
+    core tempo score (they must never disagree within one program)."""
     fa32 = fa.astype(jnp.float32)
     B, NB, NBF = fa32.shape
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP  # reference nb_frames
@@ -180,4 +187,11 @@ def envelope_finish_device_exact(
     )
     atk32 = jnp.float32(C.ATTACK_SCALE) * atk_sum[0] / nf32 + jnp.float32(C.ATTACK_BIAS)
     attack = jnp.where(n > 0, atk_dd[0], atk32)
+    if return_aux:
+        # `peaks` and `mid` are the full-length masks computed above
+        return (
+            tempo.astype(jnp.float32),
+            attack.astype(jnp.float32),
+            (beat, r2[0].astype(jnp.float32), peaks, mid),
+        )
     return tempo.astype(jnp.float32), attack.astype(jnp.float32)

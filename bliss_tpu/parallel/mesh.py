@@ -101,9 +101,28 @@ def analyze_sharded_async(
         ext = outs[3] if extended else None
 
         def finish():
-            tempo, attack = tempo_mod.envelope_finish_host(
-                np.asarray(fa)[:B], np.asarray(n)[:B], np.asarray(d)[:B]
-            )
+            n_np, d_np = np.asarray(n)[:B], np.asarray(d)[:B]
+            if ext is None:
+                tempo, attack = tempo_mod.envelope_finish_host(
+                    np.asarray(fa)[:B], n_np, d_np
+                )
+                ext_np = None
+            else:
+                # the device-f32 beat columns are overwritten from the SAME
+                # float64 finish as the core tempo (see pipeline.py finish)
+                from bliss_tpu.features.extended import (
+                    EXTENDED_FEATURE_NAMES,
+                )
+
+                tempo, attack, aux = tempo_mod.envelope_finish_host(
+                    np.asarray(fa)[:B], n_np, d_np, return_aux=True
+                )
+                bpm, loud = tempo_mod.beat_cols_from_host_aux(aux, d_np)
+                ext_np = np.array(np.asarray(ext)[:B], np.float32, copy=True)
+                ext_np[:, EXTENDED_FEATURE_NAMES.index("bpm")] = bpm
+                ext_np[
+                    :, EXTENDED_FEATURE_NAMES.index("beat_loudness")
+                ] = loud
             core = np.stack(
                 [
                     tempo,
@@ -113,9 +132,9 @@ def analyze_sharded_async(
                 ],
                 axis=1,
             )
-            if ext is None:
+            if ext_np is None:
                 return core
-            return np.concatenate([core, np.asarray(ext)[:B]], axis=1)
+            return np.concatenate([core, ext_np], axis=1)
 
         return finish
     if extended:
@@ -375,8 +394,16 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
         fa = jax.lax.all_gather(energy, "seq", axis=2, tiled=True)
 
         outs = []
+        beat_aux = None
         if cfg.tempo_finish == "host":
             outs = [amplitude, frequency, fa]
+        elif extended:
+            # share one envelope chain: the aux hands the core's beat
+            # detection to the extended bpm/beat_loudness columns
+            tempo, attack, beat_aux = tempo_mod.envelope_finish_device(
+                fa, n, dur, cfg, return_aux=True
+            )
+            outs = [jnp.stack([tempo, amplitude, frequency, attack], axis=1)]
         else:
             tempo, attack = tempo_mod.envelope_finish_device(fa, n, dur, cfg)
             outs = [jnp.stack([tempo, amplitude, frequency, attack], axis=1)]
@@ -384,7 +411,7 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
             outs.append(
                 _extended_local(
                     s, n, dur, valid, seq_ix, n_seq, power,
-                    power_frames, fmask, fa, cfg,
+                    power_frames, fmask, fa, cfg, beat_aux=beat_aux,
                 )
             )
         return tuple(outs) if len(outs) > 1 else outs[0]
@@ -409,12 +436,14 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
 
 
 def _extended_local(
-    s, n, dur, valid, seq_ix, n_seq, power, power_frames, fmask, fa, cfg
+    s, n, dur, valid, seq_ix, n_seq, power, power_frames, fmask, fa, cfg,
+    beat_aux=None,
 ):
     """Sharded extended (ROADMAP) features: [Bl, n_ext] float32, replicated
     over 'seq'. Frame statistics psum across shards; the zero-crossing count
     ring-exchanges a one-sample halo; beat metrics run on the gathered band
-    energies. Mirrors features/extended.py column for column."""
+    energies (``beat_aux`` shares the core finish's beat detection — see
+    beat_metrics). Mirrors features/extended.py column for column."""
     from bliss_tpu.features.extended import (
         chroma_matrix,
         dct_ii_matrix,
@@ -511,7 +540,7 @@ def _extended_local(
     chroma = chroma / jnp.maximum(jnp.sum(chroma, axis=1, keepdims=True), 1e-12)
 
     # ---- beat metrics from the gathered band energies ----------------------
-    bpm, beat_loud = tempo_mod.beat_metrics(fa, n, dur, cfg)
+    bpm, beat_loud = tempo_mod.beat_metrics(fa, n, dur, cfg, aux=beat_aux)
 
     head = jnp.stack(
         [

@@ -88,11 +88,26 @@ def _dispatch_analysis(batch: PCMBatch, cfg, mesh, extended: bool = False):
             amp, freq, fa, ext = _unpack_stage(
                 np.asarray(fut), cfg, L, extended
             )
-            tempo, attack = envelope_finish_host(
-                fa, np.asarray(batch.n_samples), np.asarray(batch.durations)
+            n_np = np.asarray(batch.n_samples)
+            d_np = np.asarray(batch.durations)
+            if not extended:
+                tempo, attack = envelope_finish_host(fa, n_np, d_np)
+                return np.stack([tempo, amp, freq, attack], axis=1)
+            # overwrite the device-f32 beat columns from the SAME float64
+            # envelope finish as the core tempo — extended bpm/beat_loudness
+            # must agree with the tempo score in every row
+            from bliss_tpu.features.extended import EXTENDED_FEATURE_NAMES
+            from bliss_tpu.features.tempo import beat_cols_from_host_aux
+
+            tempo, attack, aux = envelope_finish_host(
+                fa, n_np, d_np, return_aux=True
             )
+            bpm, loud = beat_cols_from_host_aux(aux, d_np)
+            ext = np.array(ext, np.float32, copy=True)
+            ext[:, EXTENDED_FEATURE_NAMES.index("bpm")] = bpm
+            ext[:, EXTENDED_FEATURE_NAMES.index("beat_loudness")] = loud
             core = np.stack([tempo, amp, freq, attack], axis=1)
-            return np.concatenate([core, ext], axis=1) if extended else core
+            return np.concatenate([core, ext], axis=1)
 
         return finish
     if extended:

@@ -6,7 +6,7 @@ beat trains, sweeps, silence gaps), writes them as FLAC, analyzes each with
 the reference binary (baseline/build/analyze) and with bliss-tpu's float64
 parity mode, and reports the deviation distribution per feature.
 
-Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact|streaming|streaming_strict] [cpu|tpu]
+Run: python scripts/fuzz_differential.py [N] [parity|hybrid|device_exact|streaming|streaming_strict|extended] [cpu|tpu]
 
 "parity" (default) compares the float64 parity mode (expected deviation
 ~1e-5). "hybrid" compares the fused-kernel configuration with the host
@@ -188,25 +188,191 @@ def run_batched_device_fuzz(
     }
 
 
+# --- extended-feature differential fuzz (device f32 vs CPU float64) --------
+
+# Per-column-group gates for the extended fuzz: |device_f32 - cpu_f64|.
+# Set from the math (see run_extended_fuzz docstring), then validated
+# empirically on CPU-f32-vs-f64 and the real device. rolloff is the one
+# knife-edge feature (per-frame argmax over a cumsum >= 0.95*energy): a
+# single-bin flip in one frame moves the energy-weighted mean by up to a
+# couple of Hz out of ~43 Hz/bin, hence the loose absolute gate.
+EXTENDED_GATES = (
+    ("zero_crossing_rate", 0, 1, 1e-5),
+    ("loudness_db", 1, 2, 5e-3),
+    ("spectral_centroid_hz", 2, 3, 2.0),
+    ("spectral_rolloff_hz", 3, 4, 25.0),
+    ("spectral_flatness", 4, 5, 1e-3),
+    ("beats (bpm*dur/60)", 5, 6, 0.02),  # dev converted to beat quanta
+    ("beat_loudness", 6, 7, 1e-2),
+    ("mfcc", 7, 20, 2e-3),
+    ("mfcc_std", 20, 33, 2e-3),
+    ("chroma", 33, 45, 1e-4),
+)
+
+
+def _extended_batches(samples, n_samples, durations, cfg, fn):
+    """Yield [16, L] fixed-shape batches through fn; returns [N, n_cols]."""
+    from bliss_tpu.features import PCMBatch
+
+    B = 16
+    outs = []
+    for b0 in range(0, samples.shape[0], B):
+        sl = slice(b0, b0 + B)
+        s, n, d = samples[sl], n_samples[sl], durations[sl]
+        if s.shape[0] < B:  # keep the compiled shape fixed
+            pad = B - s.shape[0]
+            s = np.concatenate([s, np.repeat(s[-1:], pad, axis=0)])
+            n = np.concatenate([n, np.repeat(n[-1:], pad)])
+            d = np.concatenate([d, np.repeat(d[-1:], pad)])
+        batch = PCMBatch(s, n, d)
+        outs.append(np.asarray(fn(batch, cfg))[: sl.stop - b0])
+    return np.concatenate(outs, axis=0)[: samples.shape[0]]
+
+
+def run_extended_fuzz(
+    n_cases: int = 64, seed: int = 4321, verbose: bool = True
+) -> dict:
+    """Differential fuzz of the extended ROADMAP features (zcr, loudness,
+    centroid/rolloff/flatness, bpm, beat loudness, MFCC mean/std, chroma):
+    the production f32 program (analyze_batch_ext_jit, for_tpu config) on
+    the CURRENT jax backend vs a float64 oracle computed on the CPU backend
+    in a fresh subprocess (x64 cannot be enabled in a process holding the
+    axon TPU — float64 programs hang its compile). There is no reference
+    binary for these features (the reference never implemented its
+    ROADMAP.md list), so the oracle is the same math at float64; what this
+    validates is the f32/XLA:TPU compilation of it — Mosaic matmul
+    precision defaults, TPU transcendental approximations (log/exp in
+    flatness and log-mel), and the knife-edge cumsum/argmax rolloff.
+    bench.py-callable; returns {"cases", "divergent", "max_dev_by_group"}.
+    """
+    import jax
+
+    from bliss_tpu.config import AnalysisConfig
+    from bliss_tpu.features.analyze import analyze_batch_ext_jit
+    from bliss_tpu.pipeline import _bucket_length
+
+    say = print if verbose else (lambda *a, **k: None)
+    cfg = AnalysisConfig.for_tpu()
+    rng = np.random.RandomState(seed)
+
+    # Phase 1 (host): synthetic songs straight to PCM (no decode — the
+    # decoder is oracle-tested elsewhere; this fuzz targets the analyzers).
+    arrays, durations = [], []
+    for _ in range(n_cases):
+        seconds = int(rng.randint(3, 9))
+        frames = random_song(rng, seconds)
+        arrays.append(frames.reshape(-1))  # interleave [n,2] -> [2n]
+        durations.append(seconds)  # container whole seconds, like decode
+    L = _bucket_length(max(a.shape[0] for a in arrays), cfg.pad_multiple)
+    samples = np.zeros((n_cases, L), dtype=np.int16)
+    for i, a in enumerate(arrays):
+        samples[i, : a.shape[0]] = a
+    n_samples = np.array([a.shape[0] for a in arrays], dtype=np.int32)
+    durations = np.array(durations, dtype=np.int32)
+
+    dev0 = jax.devices()[0]
+    say(f"backend: {dev0.platform} ({dev0.device_kind}); "
+        f"{n_cases} cases, batches of 16 at L={L}")
+
+    # Phase 2 (current backend): production f32 extended program.
+    ours = _extended_batches(
+        samples, n_samples, durations, cfg, analyze_batch_ext_jit
+    )[:, 4:]
+
+    # Phase 3 (subprocess): float64 oracle on the CPU backend.
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "in.npz")
+        outp = os.path.join(tmp, "out.npz")
+        np.savez(
+            inp, samples=samples, n_samples=n_samples, durations=durations
+        )
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--extended-oracle", inp, outp],
+            check=True, timeout=3600,
+        )
+        oracle = np.load(outp)["extended"]
+
+    dev = np.abs(ours - oracle)
+    # bpm deviation gates in beat quanta, not Hz of bpm
+    dev[:, 5] = dev[:, 5] * durations / 60.0
+    n_divergent = 0
+    max_dev_by_group = {}
+    worst = np.zeros(n_cases, dtype=bool)
+    for gname, lo, hi, gate in EXTENDED_GATES:
+        g = dev[:, lo:hi]
+        max_dev_by_group[gname] = float(g.max())
+        bad = (g > gate).any(axis=1)
+        worst |= bad
+        if bad.any():
+            say(f"group {gname}: {int(bad.sum())} case(s) above gate "
+                f"{gate} (max {g.max():.3e})")
+    n_divergent = int(worst.sum())
+    for i in np.flatnonzero(worst):
+        say(f"case {i:3d}: DIVERGENT devs={np.round(dev[i], 5).tolist()}")
+    say(f"\n{n_cases} cases on {dev0.platform}; divergent: {n_divergent}")
+    say("max |f32 - f64| per group: "
+        + ", ".join(f"{k}={v:.2e}" for k, v in max_dev_by_group.items()))
+    return {
+        "cases": n_cases,
+        "divergent": n_divergent,
+        "max_dev_by_group": max_dev_by_group,
+        "mode": "extended",
+    }
+
+
+def _extended_oracle(inp: str, outp: str) -> None:
+    """Subprocess body: float64 extended features on the CPU backend."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from bliss_tpu.config import AnalysisConfig
+    from bliss_tpu.features.extended import extended_features_jit
+
+    data = np.load(inp)
+    cfg = AnalysisConfig(dtype="float64")
+    ext = _extended_batches(
+        data["samples"], data["n_samples"], data["durations"], cfg,
+        extended_features_jit,
+    )
+    np.savez(outp, extended=ext)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--extended-oracle":
+        _extended_oracle(sys.argv[2], sys.argv[3])
+        return
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     mode = sys.argv[2] if len(sys.argv) > 2 else "parity"
     backend = sys.argv[3] if len(sys.argv) > 3 else "cpu"
     if mode not in ("parity", "hybrid", "device_exact", "streaming",
-                    "streaming_strict"):
+                    "streaming_strict", "extended"):
         raise SystemExit(
             f"unknown mode {mode!r}: use 'parity', 'hybrid', "
-            "'device_exact', 'streaming', or 'streaming_strict'"
+            "'device_exact', 'streaming', 'streaming_strict', or 'extended'"
         )
     if backend not in ("cpu", "tpu"):
         raise SystemExit(f"unknown backend {backend!r}: use 'cpu' or 'tpu'")
     if backend == "tpu" and mode not in (
-        "device_exact", "hybrid", "streaming"
+        "device_exact", "hybrid", "streaming", "extended"
     ):
         raise SystemExit(
             "backend 'tpu' supports only the f32 modes 'device_exact', "
-            "'hybrid', and 'streaming' (float64 modes hang the TPU)"
+            "'hybrid', 'streaming', and 'extended' (float64 modes hang "
+            "the TPU)"
         )
+    if mode == "extended":
+        # no reference binary involved; the oracle runs in a subprocess.
+        # The parent stays x64-OFF either way: its half must compile the
+        # production f32 program exactly as production does.
+        if backend == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        run_extended_fuzz(n_cases)
+        return
     ensure_reference_binary()
 
     import jax

@@ -93,7 +93,36 @@ def smoke_configs():
                 True,
             )
         )
+    # core + extended ROADMAP features in one program (the `scan --extended`
+    # production path, analyze_batch_ext_jit) — its XLA tail (rdft matmuls,
+    # mel/DCT/chroma matmuls, cumsum/argmax rolloff) only exists in this
+    # variant and must compile-check on the real device like the kernels do
+    cfgs.append(("bands1-extended", AnalysisConfig.for_tpu(), "extended"))
     return cfgs
+
+
+def _check_extended_sanity(ext) -> None:
+    """Physical-range gates on the extended tail [B, n_ext]: a compiled
+    program producing finite garbage must fail the matrix. Columns per
+    EXTENDED_FEATURE_NAMES: zcr, loudness_db, centroid, rolloff, flatness,
+    bpm, beat_loudness, 13x mfcc, 13x mfcc_std, 12x chroma."""
+    import numpy as np
+
+    nyq = 22050 / 2
+    gates = (
+        ("zero_crossing_rate", ext[:, 0], 0.0, 1.0),
+        ("loudness_db", ext[:, 1], -200.0, 0.0),
+        ("spectral_centroid_hz", ext[:, 2], 0.0, nyq),
+        ("spectral_rolloff_hz", ext[:, 3], 0.0, nyq),
+        ("spectral_flatness", ext[:, 4], 0.0, 1.001),
+        ("bpm", ext[:, 5], 0.0, 1000.0),
+        ("chroma_sum", np.sum(ext[:, -12:], axis=1), 0.999, 1.001),
+    )
+    for fname, col, lo, hi in gates:
+        if not ((col >= lo) & (col <= hi)).all():
+            raise AssertionError(
+                f"extended sanity: {fname} outside [{lo}, {hi}]: {col}"
+            )
 
 
 def run_smoke(time_budget_s: float = 1500.0) -> dict:
@@ -128,7 +157,16 @@ def run_smoke(time_budget_s: float = 1500.0) -> dict:
             continue
         t0 = time.time()
         try:
-            if sharded:
+            if sharded == "extended":
+                from bliss_tpu.features.analyze import analyze_batch_ext_jit
+
+                full = np.asarray(analyze_batch_ext_jit(batch, cfg))
+                if not np.isfinite(full).all():
+                    raise AssertionError(f"non-finite features: {full[0]}")
+                _check_extended_sanity(full[:, 4:])
+                # core columns feed the bands1 consistency check below
+                feats = full[:, :4]
+            elif sharded:
                 from bliss_tpu.parallel import analysis_mesh, analyze_sharded
 
                 n_dev = len(jax.devices())

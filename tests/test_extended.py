@@ -159,6 +159,66 @@ def test_precomputed_fa_matches_recompute():
     np.testing.assert_allclose(with_fa, without, atol=1e-12)
 
 
+def _fuzz_songs(n_cases=6, seed=4321):
+    """Fuzz-style random songs (tones + beat train + noise + silence gap)
+    — the content class on which the round-4 extended differential fuzz
+    caught plain-f32 beat_metrics flipping beats vs the core tempo."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from fuzz_differential import random_song
+
+    rng = np.random.RandomState(seed)
+    arrays, durs = [], []
+    for _ in range(n_cases):
+        sec = int(rng.randint(3, 9))
+        arrays.append(random_song(rng, sec).reshape(-1))
+        durs.append(sec)
+    return PCMBatch.from_arrays(arrays, durs)
+
+
+def _beats_from_tempo(tempo, durations):
+    # tempo = 4*beats/duration - 30.4  (reference affine)
+    return np.rint((np.asarray(tempo) + 30.4) * np.asarray(durations) / 4.0)
+
+
+def test_extended_bpm_consistent_with_core_tempo_device_exact():
+    """Within ONE production program (analyze_batch_ext_jit, for_tpu), the
+    extended bpm column must count exactly the beats the core tempo score
+    counted. Regression: beat_metrics used the plain-f32 envelope pipeline
+    regardless of tempo_finish, losing the <1e-6 envelope precision the
+    epsilon peak detector needs — on these fuzz songs the bpm column
+    disagreed with the (beat-exact, double-single) core tempo by 1-2 beats
+    (caught by `fuzz_differential.py N extended`, round 4)."""
+    from bliss_tpu.features.analyze import analyze_batch_ext_jit
+
+    batch = _fuzz_songs()
+    durs = np.asarray(batch.durations)
+    out = np.asarray(analyze_batch_ext_jit(batch, AnalysisConfig.for_tpu()))
+    beats_core = _beats_from_tempo(out[:, 0], durs)
+    beats_ext = np.asarray(out[:, 4 + IDX["bpm"]]) * durs / 60.0
+    np.testing.assert_allclose(beats_ext, beats_core, atol=1e-4)
+
+
+def test_extended_bpm_consistent_with_core_tempo_hybrid():
+    """Same invariant through the hybrid dispatch (device f32 stage + host
+    float64 finish): the finish overwrites the device beat columns from the
+    same float64 envelope chain that produced the core tempo."""
+    from bliss_tpu.pipeline import _dispatch_analysis
+
+    batch = _fuzz_songs(seed=97)
+    durs = np.asarray(batch.durations)
+    out = _dispatch_analysis(
+        batch, AnalysisConfig.for_tpu_hybrid(), mesh=None, extended=True
+    )()
+    beats_core = _beats_from_tempo(out[:, 0], durs)
+    beats_ext = np.asarray(out[:, 4 + IDX["bpm"]]) * durs / 60.0
+    np.testing.assert_allclose(beats_ext, beats_core, atol=1e-4)
+
+
 def test_extended_features_silent_song_contained():
     """Silence must produce contained (finite or documented) values, not
     crashes: loudness floors at -200 dB, chroma normalizes safely, bpm=0."""
