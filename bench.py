@@ -618,13 +618,27 @@ def stage_fuzz() -> dict:
     )
 
 
+def stage_ext_fuzz() -> dict:
+    """Extended-feature differential net: the production f32 extended
+    program on this backend vs a float64 oracle in a CPU subprocess (no
+    reference binary covers these columns). Found the plain-f32
+    beat_metrics ±1-2 beat drift vs the core tempo (round 4)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from fuzz_differential import run_extended_fuzz
+
+    return run_extended_fuzz(
+        n_cases=int(os.environ.get("BENCH_EXT_FUZZ_CASES", 8)),
+        verbose=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Assembly
 # ---------------------------------------------------------------------------
 
 
 def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
-                  fuzz, errors, decode_model=None) -> dict:
+                  fuzz, errors, decode_model=None, ext_fuzz=None) -> dict:
     """Build the output line from whatever stages succeeded; missing or
     failed stages degrade to marked fields instead of aborting the bench."""
     correctness_ok = bool(
@@ -633,6 +647,8 @@ def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
         and correctness["hybrid_ok"]
     )
     if fuzz and not fuzz.get("error") and fuzz.get("divergent"):
+        correctness_ok = False
+    if ext_fuzz and not ext_fuzz.get("error") and ext_fuzz.get("divergent"):
         correctness_ok = False
     songs_per_sec = throughput["songs_per_sec"] if throughput else 0.0
     usable = bool(throughput) and correctness_ok
@@ -705,8 +721,14 @@ def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
     if kernels:
         out["kernel_smoke"] = kernels.get("results", {})
     out["device_fuzz"] = fuzz
+    if ext_fuzz is not None:
+        out["extended_fuzz"] = ext_fuzz
     if fuzz and not fuzz.get("error") and fuzz.get("divergent"):
         print(f"WARNING: device fuzz divergent: {fuzz}", file=sys.stderr)
+    if ext_fuzz and not ext_fuzz.get("error") and ext_fuzz.get("divergent"):
+        print(
+            f"WARNING: extended fuzz divergent: {ext_fuzz}", file=sys.stderr
+        )
     if errors:
         out["errors"] = errors
     return out
@@ -725,7 +747,10 @@ def _signature() -> str:
         pass
     params = {
         k: os.environ.get(k)
-        for k in ("BENCH_B", "BENCH_E2E_SONGS", "BENCH_FUZZ_CASES")
+        for k in (
+            "BENCH_B", "BENCH_E2E_SONGS", "BENCH_FUZZ_CASES",
+            "BENCH_EXT_FUZZ_CASES",
+        )
     }
     return f"{rev}|{params}"
 
@@ -818,6 +843,7 @@ def main() -> int:
         )
 
     correctness = throughput = hybrid = e2e = kernels = fuzz = None
+    ext_fuzz = None
     if device_stages_possible:
         correctness = run_stage(ckpt, "correctness", stage_correctness)
         throughput = run_stage(ckpt, "throughput", stage_throughput)
@@ -830,6 +856,10 @@ def main() -> int:
             if fuzz is None:
                 # fuzz infra failure must not zero the bench number
                 fuzz = {"error": ckpt.error("fuzz")}
+        if os.environ.get("BENCH_EXT_FUZZ", "1") != "0":
+            ext_fuzz = run_stage(ckpt, "ext_fuzz", stage_ext_fuzz)
+            if ext_fuzz is None:
+                ext_fuzz = {"error": ckpt.error("ext_fuzz")}
 
     errors = {
         name: rec["error"]
@@ -838,7 +868,7 @@ def main() -> int:
     }
     out = assemble_json(
         baseline, correctness, throughput, hybrid, e2e, kernels, fuzz,
-        errors, decode_model,
+        errors, decode_model, ext_fuzz=ext_fuzz,
     )
     _emit_json_once(out)
     if not errors:

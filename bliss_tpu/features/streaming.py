@@ -518,19 +518,26 @@ def analyze_song_streaming(
     n_windows = max(-(-(trunc_n - C.WINDOW_SIZE) // hop), 0)
     fa[:, :, n_windows:] = 0.0
 
-    tempo, attack = envelope_finish_host(
-        fa, np.array([n], np.int64), np.array([duration], np.float64)
+    n_arr = np.array([n], np.int64)
+    dur_arr = np.array([duration], np.float64)
+    if not extended:
+        tempo, attack = envelope_finish_host(fa, n_arr, dur_arr)
+        return np.array(
+            [tempo[0], amplitude, frequency, attack[0]], np.float32
+        )
+    # one float64 envelope chain serves both the core tempo and the
+    # extended beat columns (same invariant as the batched paths)
+    tempo, attack, beat_aux = envelope_finish_host(
+        fa, n_arr, dur_arr, return_aux=True
     )
     core = np.array([tempo[0], amplitude, frequency, attack[0]], np.float32)
-    if not extended:
-        return core
 
     # --- extended features from the streamed partials -----------------------
     from bliss_tpu.features.extended import (
         EXTENDED_FEATURE_NAMES,
         chroma_matrix,
     )
-    from bliss_tpu.features.tempo import beat_metrics_host
+    from bliss_tpu.features.tempo import beat_cols_from_host_aux
 
     W = C.WINDOW_SIZE
     rms = np.sqrt(sumsq / max(n, 1))
@@ -547,9 +554,7 @@ def analyze_song_streaming(
     mfcc_mean = mfcc_sum / n_frames
     mfcc_std = np.sqrt(np.maximum(mfcc_sq / n_frames - mfcc_mean**2, 0.0))
 
-    bpm, beat_loud = beat_metrics_host(
-        fa, np.array([n], np.int64), np.array([duration], np.float64)
-    )
+    bpm, beat_loud = beat_cols_from_host_aux(beat_aux, dur_arr)
 
     chroma = power @ np.asarray(chroma_matrix(), np.float64)
     chroma = chroma / max(float(chroma.sum()), 1e-12)

@@ -251,6 +251,39 @@ def test_assemble_json_fuzz_divergence_zeroes_value(bench):
     assert out2["value"] == 21000.0
 
 
+def test_assemble_json_extended_fuzz_gate(bench):
+    """The extended-feature differential net gates correctness_ok the same
+    way the core fuzz does: divergence zeroes the value, infra error does
+    not, and the result is carried in the JSON."""
+    correctness = {
+        "device_ok": True, "hybrid_ok": True, "device": "TPU_0",
+        "tempo_err_device_exact": 0.0, "max_feature_err_vs_golden": 0.0,
+        "tempo_err_hybrid": 0.0, "max_feature_err_hybrid": 0.0,
+    }
+    base = dict(
+        baseline={"cpu_analysis_songs_per_sec": 20.0,
+                  "cpu_e2e_songs_per_sec": 18.0},
+        correctness=correctness,
+        throughput={"per_batch_s": 0.006, "songs_per_sec": 21000.0,
+                    "batch": 128},
+        hybrid=None, e2e=None, kernels=None,
+        fuzz={"divergent": 0, "cases": 16},
+        errors={},
+    )
+    out = bench.assemble_json(
+        **base, ext_fuzz={"divergent": 1, "cases": 8, "mode": "extended"}
+    )
+    assert out["correctness_ok"] is False
+    assert out["value"] == 0.0
+    assert out["extended_fuzz"]["divergent"] == 1
+
+    out2 = bench.assemble_json(
+        **base, ext_fuzz={"error": "RuntimeError: tunnel"}
+    )
+    assert out2["correctness_ok"] is True
+    assert out2["value"] == 21000.0
+
+
 # --- hang hardening: attempt deadlines + global watchdog ---------------------
 
 

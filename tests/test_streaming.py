@@ -139,6 +139,24 @@ def test_streaming_extended_matches_whole_shape(song):
             assert abs(a - b) <= 2e-3 * max(1.0, abs(b)), (name, a, b)
 
 
+def test_streaming_extended_bpm_consistent_with_core_tempo(song):
+    """Within ONE streamed row, the extended bpm column must count exactly
+    the beats the core tempo score counted — both now derive from the same
+    float64 host envelope chain (regression: beat_metrics recomputed the
+    envelope in plain f32 and drifted 1-2 beats on fuzz content, round 4).
+    Same invariant as the batched-path tests in test_extended.py."""
+    from bliss_tpu.features import EXTENDED_FEATURE_NAMES
+
+    samples, dur = song
+    row = analyze_song_streaming(
+        samples, dur, CFG, chunk_samples=1 << 18, extended=True
+    )
+    beats_core = _beats(row[0], dur)
+    idx_bpm = list(EXTENDED_FEATURE_NAMES).index("bpm")
+    beats_ext = row[4 + idx_bpm] * dur / 60.0
+    np.testing.assert_allclose(beats_ext, beats_core, atol=1e-4)
+
+
 def test_song_api_routes_long_songs(song, tmp_path, monkeypatch):
     """bliss_tpu.analyze() streams songs past the cap too (no giant-shape
     compile through the Song API)."""
