@@ -39,6 +39,21 @@ DEADLINE_EXCEEDED, and a global watchdog (BENCH_GLOBAL_TIMEOUT_S, default
 if the whole run overstays. Knobs: BENCH_RETRIES, BENCH_BACKOFF_S,
 BENCH_EXEC_RETRIES, BENCH_CKPT (checkpoint path; deleted on a fully clean
 run).
+
+Driver-capture hardening (round 5 — BENCH_r04.json was rc=124 with no
+JSON because the driver's `timeout` SIGTERMed the bench mid-e2e while the
+measured 21 164 songs/s sat unprinted in the checkpoint):
+- SIGTERM/SIGINT now assemble the JSON from whatever stages the
+  checkpoint holds, print it, and exit 0 — a driver kill can no longer
+  lose a number the bench already measured.
+- Stage order is cheap-gates-first: correctness -> throughput -> hybrid
+  -> kernels -> fuzz -> ext_fuzz, then the HEADLINE JSON LINE IS PRINTED
+  (with "pending": ["e2e"]), then the e2e enrichment runs and the
+  enriched line is re-emitted. An early line beats no line.
+- The e2e song count auto-scales to the remaining wall budget
+  (BENCH_WALL_BUDGET_S, default 2700 s; BENCH_E2E_SONGS overrides with a
+  fixed count) and the fixture library persists across runs
+  (make_library reuses files from any previous >= generation).
 """
 
 from __future__ import annotations
@@ -354,13 +369,18 @@ def stage_decode_model() -> dict:
 
         for name, path in variants.items():
             decode(path)  # warm page cache
-            best = float("inf")
+            best = best_cpu = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
+                c0 = time.thread_time()
                 decode(path)
+                best_cpu = min(best_cpu, time.thread_time() - c0)
                 best = min(best, time.perf_counter() - t0)
             out[name] = {
                 "s_per_song": round(best, 4),
+                # CPU actually burned (CLOCK_THREAD_CPUTIME_ID) — the
+                # projection input; wall diverges on contended hosts
+                "cpu_s_per_song": round(best_cpu, 4),
                 "file_bytes": os.path.getsize(path),
             }
     return out
@@ -527,10 +547,25 @@ def stage_hybrid_timing() -> dict:
     }
 
 
-def stage_e2e() -> dict:
-    """End-to-end 10k-song library scan (decode -> features) + warm
-    re-scan. The north star workload (BASELINE.md). BENCH_E2E_SONGS
-    overrides the count."""
+def _e2e_song_count(elapsed_s: float) -> int:
+    """Scale the e2e library size to the remaining wall budget so the
+    enrichment stage cannot blow past the driver's kill window. An
+    explicit BENCH_E2E_SONGS wins; otherwise size to
+    (BENCH_WALL_BUDGET_S - elapsed) at a conservative measured per-song
+    cost (generate + cold scan + warm re-scan on this 1-core host)."""
+    explicit = os.environ.get("BENCH_E2E_SONGS")
+    if explicit:
+        return int(explicit)
+    budget = float(os.environ.get("BENCH_WALL_BUDGET_S", 2700))
+    s_per_song = float(os.environ.get("BENCH_E2E_S_PER_SONG", 0.15))
+    remaining = budget - elapsed_s
+    return max(500, min(10000, int(remaining / s_per_song)))
+
+
+def stage_e2e(n_e2e: int) -> dict:
+    """End-to-end library scan (decode -> features) + warm re-scan. The
+    north star workload (BASELINE.md). The count is wall-budget-scaled
+    (see _e2e_song_count); BENCH_E2E_SONGS pins it."""
     import tempfile
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -541,7 +576,6 @@ def stage_e2e() -> dict:
 
     ctx = _ctx()
     cfg = ctx.cfg
-    n_e2e = int(os.environ.get("BENCH_E2E_SONGS", 10000))
     lib_dir = os.environ.get("BENCH_E2E_DIR", "/tmp/bliss_e2e_lib")
     t0 = time.time()
     files = make_library(lib_dir, n_e2e, seconds=11, seed=0)
@@ -577,8 +611,22 @@ def stage_e2e() -> dict:
         if k in st
     }
     stage_s["scan_total"] = st.get("scan", {}).get("seconds", e2e_s)
+    stage_cpu_s = {
+        k: st[k]["cpu_seconds"]
+        for k in (
+            "fingerprint", "pad", "device_dispatch", "device_finalize",
+            "store_flush",
+        )
+        if k in st and "cpu_seconds" in st[k]
+    }
     decode_core_s = st.get("decode_core_seconds", 0.0)
-    decode_s_per_song = decode_core_s / max(st.get("decoded", 1), 1)
+    n_decoded = max(st.get("decoded", 1), 1)
+    decode_s_per_song = decode_core_s / n_decoded
+    # measured CPU actually burned by the decode threads — the projection
+    # input (wall time on this 1-core host includes time the decoder sat
+    # descheduled behind pad/dispatch work; see OPERATIONS.md)
+    decode_cpu_s = st.get("decode_cpu_seconds", 0.0)
+    decode_cpu_per_song = (decode_cpu_s / n_decoded) or decode_s_per_song
     return {
         "songs": len(files),
         "songs_per_sec": len(files) / e2e_s,
@@ -586,9 +634,14 @@ def stage_e2e() -> dict:
         "gen_seconds": round(gen_s, 1),
         "elapsed_seconds": round(e2e_s, 1),
         "decode_core_seconds": round(decode_core_s, 1),
+        "decode_cpu_seconds": round(decode_cpu_s, 1),
         "decode_s_per_song_per_core": round(decode_s_per_song, 4),
+        "decode_cpu_s_per_song": round(decode_cpu_per_song, 4),
         "stage_seconds": {k: round(v, 1) for k, v in stage_s.items()},
-        "_decode_s_per_song": decode_s_per_song,
+        "stage_cpu_seconds": {
+            k: round(v, 1) for k, v in stage_cpu_s.items()
+        },
+        "_decode_s_per_song": decode_cpu_per_song,
     }
 
 
@@ -638,7 +691,8 @@ def stage_ext_fuzz() -> dict:
 
 
 def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
-                  fuzz, errors, decode_model=None, ext_fuzz=None) -> dict:
+                  fuzz, errors, decode_model=None, ext_fuzz=None,
+                  pending=None) -> dict:
     """Build the output line from whatever stages succeeded; missing or
     failed stages degrade to marked fields instead of aborting the bench."""
     correctness_ok = bool(
@@ -682,27 +736,39 @@ def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
             out["e2e_vs_baseline"] = round(
                 out["e2e_songs_per_sec"] / baseline["cpu_e2e_songs_per_sec"], 1
             )
-        # real-host projection: decode scales with cores; the device rate
-        # is the measured device-resident throughput on this chip. See
-        # OPERATIONS.md "What bounds throughput" for the model's assumptions.
+        # real-host projection, built entirely from MEASURED CPU seconds
+        # (CLOCK_THREAD_CPUTIME_ID — never wall, which on this 1-core host
+        # absorbs scheduler contention into whichever stage happens to
+        # hold the GIL): per-song host cost = decode CPU/song + the other
+        # host stages' CPU/song; C cores sustain C / cost songs/s, capped
+        # by the measured device-resident rate. Formula documented in
+        # OPERATIONS.md "Capacity projection"; unit-tested in
+        # tests/test_bench_harness.py.
         device_cap = songs_per_sec if throughput else float("inf")
+        n_songs = max(e2e.get("songs", 1), 1)
+        other_cpu = sum(
+            e2e.get("stage_cpu_seconds", {}).values()
+        ) / n_songs
 
-        def _project(s_per_song):
+        def _project(decode_cpu_per_song):
+            cost = decode_cpu_per_song + other_cpu
             return {
-                str(c): round(min(c / max(s_per_song, 1e-9), device_cap), 1)
+                str(c): round(min(c / max(cost, 1e-9), device_cap), 1)
                 for c in (8, 32, 96)
             }
 
+        e2e["host_cpu_s_per_song_non_decode"] = round(other_cpu, 4)
         e2e["projected_songs_per_sec_at_cores"] = _project(decode_s)
         if decode_model:
             # fold the measured per-codec decode costs in: the projection
             # above assumes the scanned library's codec (verbatim FLAC);
             # real libraries are compressed FLAC / mp3 — rates per variant
             e2e["decode_s_per_song_by_codec"] = {
-                k: v.get("s_per_song", v) for k, v in decode_model.items()
+                k: v.get("cpu_s_per_song", v.get("s_per_song", v))
+                for k, v in decode_model.items()
             }
             e2e["projected_songs_per_sec_at_cores_by_codec"] = {
-                k: _project(v["s_per_song"])
+                k: _project(v.get("cpu_s_per_song", v["s_per_song"]))
                 for k, v in decode_model.items()
                 if "s_per_song" in v
             }
@@ -729,6 +795,8 @@ def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
         print(
             f"WARNING: extended fuzz divergent: {ext_fuzz}", file=sys.stderr
         )
+    if pending:
+        out["pending"] = list(pending)
     if errors:
         out["errors"] = errors
     return out
@@ -760,8 +828,9 @@ _EMITTED = False
 
 
 def _emit_json_once(out: dict) -> bool:
-    """Print THE one JSON line (whoever gets here first — the normal flow,
-    the fatal handler, or the global watchdog)."""
+    """Print a JSON line only if none was printed yet (the emergency
+    paths — fatal handler, global watchdog, SIGTERM/SIGINT — must never
+    clobber a line the normal flow already emitted)."""
     global _EMITTED
     with _EMIT_LOCK:
         if _EMITTED:
@@ -770,6 +839,75 @@ def _emit_json_once(out: dict) -> bool:
     print(json.dumps(out))
     sys.stdout.flush()
     return True
+
+
+def _emit_json(out: dict) -> None:
+    """Print a JSON line unconditionally (normal flow only: the headline
+    after the correctness gates, then the enriched re-emit after e2e —
+    the driver parses the last complete line, and an early line beats no
+    line if the e2e enrichment is killed)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        _EMITTED = True
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+def _assemble_from_ckpt(ckpt: Checkpoint, extra_errors: dict) -> dict:
+    """Degraded-JSON assembly from whatever stages the checkpoint holds.
+    Shared by the global watchdog, the SIGTERM/SIGINT handlers, and the
+    fatal handler — the r04 driver kill left 21 164 songs/s sitting in
+    exactly this checkpoint with nothing to print it."""
+    stage = {k: v.get("value") for k, v in ckpt.stages.items()}
+    errors = {
+        k: v["error"] for k, v in ckpt.stages.items() if "error" in v
+    }
+    errors.update(extra_errors)
+    try:
+        return assemble_json(
+            stage.get("baseline"), stage.get("correctness"),
+            stage.get("throughput"), stage.get("hybrid"),
+            stage.get("e2e"), stage.get("kernels"), stage.get("fuzz"),
+            errors, stage.get("decode_model"),
+            ext_fuzz=stage.get("ext_fuzz"),
+        )
+    except Exception as e:  # noqa: BLE001 — emit SOMETHING
+        return {
+            "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
+            "value": 0.0, "unit": "songs/s", "vs_baseline": 0.0,
+            "device": "unavailable", "correctness_ok": False,
+            "errors": {**errors, "assemble": f"{type(e).__name__}: {e}"},
+        }
+
+
+def _install_signal_handlers(ckpt: Checkpoint) -> None:
+    """SIGTERM/SIGINT: flush the JSON line before dying. The driver wraps
+    the bench in `timeout`, whose SIGTERM killed round 4's capture with
+    the measured number still unprinted (BENCH_r04.json: rc=124,
+    parsed: null). The handler assembles from the checkpoint, emits only
+    if the normal flow hasn't already, and exits 0 either way."""
+    import signal
+
+    def handler(signum, frame):  # noqa: ARG001 — signal API
+        name = signal.Signals(signum).name
+        out = _assemble_from_ckpt(
+            ckpt, {"signal": f"{name} received; emitted from checkpoint"}
+        )
+        if _emit_json_once(out):
+            print(
+                f"bench: {name} received; emitted JSON from checkpoint",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"bench: {name} received after emission; exiting clean",
+                file=sys.stderr,
+            )
+        sys.stderr.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, handler)
+    signal.signal(signal.SIGINT, handler)
 
 
 def _start_global_watchdog(ckpt: Checkpoint) -> None:
@@ -784,43 +922,37 @@ def _start_global_watchdog(ckpt: Checkpoint) -> None:
 
     def fire():
         time.sleep(limit)
-        stage = {k: v.get("value") for k, v in ckpt.stages.items()}
-        errors = {
-            k: v["error"] for k, v in ckpt.stages.items() if "error" in v
-        }
-        errors["watchdog"] = (
-            f"global timeout: bench still running after {limit:.0f}s"
-        )
-        try:
-            out = assemble_json(
-                stage.get("baseline"), stage.get("correctness"),
-                stage.get("throughput"), stage.get("hybrid"),
-                stage.get("e2e"), stage.get("kernels"), stage.get("fuzz"),
-                errors, stage.get("decode_model"),
-            )
-        except Exception as e:  # noqa: BLE001 — emit SOMETHING
-            out = {
-                "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
-                "value": 0.0, "unit": "songs/s", "vs_baseline": 0.0,
-                "device": "unavailable", "correctness_ok": False,
-                "errors": {**errors, "assemble": f"{type(e).__name__}: {e}"},
-            }
+        out = _assemble_from_ckpt(ckpt, {
+            "watchdog": (
+                f"global timeout: bench still running after {limit:.0f}s"
+            ),
+        })
         if _emit_json_once(out):
             print(
                 "bench: global watchdog fired; emitted degraded JSON",
                 file=sys.stderr,
             )
-            os._exit(0)
+        else:
+            print(
+                "bench: global watchdog fired after emission; exiting",
+                file=sys.stderr,
+            )
+        os._exit(0)
 
     threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
 
 
 def main() -> int:
+    t_start = time.time()
     ckpt = Checkpoint(
         os.environ.get("BENCH_CKPT", "/tmp/bliss_bench_ckpt.json"),
         _signature(),
     )
+    _install_signal_handlers(ckpt)
     _start_global_watchdog(ckpt)
+    test_sleep = float(os.environ.get("BENCH_TEST_SLEEP_S", 0))
+    if test_sleep:  # test hook: hold here so harness tests can SIGTERM us
+        time.sleep(test_sleep)
 
     baseline = run_stage(ckpt, "baseline", measure_baseline)
     decode_model = run_stage(ckpt, "decode_model", stage_decode_model)
@@ -845,10 +977,14 @@ def main() -> int:
     correctness = throughput = hybrid = e2e = kernels = fuzz = None
     ext_fuzz = None
     if device_stages_possible:
+        # cheap-gates-first: every stage that feeds the headline number
+        # and the correctness gates runs BEFORE the expensive e2e
+        # enrichment, and the headline line is printed as soon as the
+        # gates complete (BENCH_r04 died inside e2e with the number
+        # already measured but unprinted)
         correctness = run_stage(ckpt, "correctness", stage_correctness)
         throughput = run_stage(ckpt, "throughput", stage_throughput)
         hybrid = run_stage(ckpt, "hybrid", stage_hybrid_timing)
-        e2e = run_stage(ckpt, "e2e", stage_e2e)
         if os.environ.get("BENCH_KERNELS", "1") != "0":
             kernels = run_stage(ckpt, "kernels", stage_kernels)
         if os.environ.get("BENCH_FUZZ", "1") != "0":
@@ -861,17 +997,33 @@ def main() -> int:
             if ext_fuzz is None:
                 ext_fuzz = {"error": ckpt.error("ext_fuzz")}
 
-    errors = {
-        name: rec["error"]
-        for name, rec in ckpt.stages.items()
-        if "error" in rec
-    }
-    out = assemble_json(
-        baseline, correctness, throughput, hybrid, e2e, kernels, fuzz,
-        errors, decode_model, ext_fuzz=ext_fuzz,
+    def _errors():
+        return {
+            name: rec["error"]
+            for name, rec in ckpt.stages.items()
+            if "error" in rec
+        }
+
+    run_e2e = device_stages_possible and (
+        os.environ.get("BENCH_E2E", "1") != "0"
     )
-    _emit_json_once(out)
-    if not errors:
+    headline = assemble_json(
+        baseline, correctness, throughput, hybrid, None, kernels, fuzz,
+        _errors(), decode_model, ext_fuzz=ext_fuzz,
+        pending=["e2e"] if run_e2e else None,
+    )
+    _emit_json(headline)
+
+    if run_e2e:
+        n_e2e = _e2e_song_count(time.time() - t_start)
+        e2e = run_stage(ckpt, "e2e", lambda: stage_e2e(n_e2e))
+        out = assemble_json(
+            baseline, correctness, throughput, hybrid, e2e, kernels, fuzz,
+            _errors(), decode_model, ext_fuzz=ext_fuzz,
+        )
+        _emit_json(out)  # enriched re-emit: the last complete line wins
+
+    if not _errors():
         ckpt.clear()  # clean run: never reuse stale numbers next time
     return 0
 
@@ -885,15 +1037,15 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc()
+        # assemble from the checkpoint: stages completed before the fatal
+        # error still carry their numbers into the degraded line
+        ckpt = Checkpoint(
+            os.environ.get("BENCH_CKPT", "/tmp/bliss_bench_ckpt.json"),
+            _signature(),
+        )
         _emit_json_once(
-            {
-                "metric": "songs analyzed/sec/chip (PCM->features, 11s songs)",
-                "value": 0.0,
-                "unit": "songs/s",
-                "vs_baseline": 0.0,
-                "device": "unavailable",
-                "correctness_ok": False,
-                "errors": {"fatal": f"{type(e).__name__}: {e}"},
-            }
+            _assemble_from_ckpt(
+                ckpt, {"fatal": f"{type(e).__name__}: {e}"}
+            )
         )
         sys.exit(0)

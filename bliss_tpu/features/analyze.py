@@ -187,7 +187,10 @@ def _device_stage_packed(
     if extended:
         from bliss_tpu.features.extended import extended_features
 
-        cols.append(extended_features(batch, cfg, fa=fa))
+        # host-finish callers (pipeline.py) overwrite bpm/beat_loudness
+        # from the float64 host aux, so skip the device beat chain
+        skip = "skip" if cfg.tempo_finish == "host" else None
+        cols.append(extended_features(batch, cfg, fa=fa, beat_aux=skip))
     dt = fa.dtype
     return jnp.concatenate([c.astype(dt) for c in cols], axis=1)
 

@@ -110,7 +110,11 @@ def extended_features(
     ``beat_aux``: optional ``(beat, r2, peaks, mid)`` from the core
     envelope finish (envelope_scores_from_energies(return_aux=True)) so
     bpm/beat_loudness derive from the exact same beat detection as the
-    core tempo score instead of re-running the envelope chain."""
+    core tempo score instead of re-running the envelope chain. The string
+    sentinel ``"skip"`` emits zero bpm/beat_loudness columns instead —
+    for host-finish (hybrid) callers that overwrite both columns from the
+    float64 host aux anyway, so the device program doesn't burn a whole
+    second envelope chain whose outputs are discarded."""
     dtype = cfg.jnp_dtype
     W = C.WINDOW_SIZE
     B, L = batch.samples.shape
@@ -194,9 +198,15 @@ def extended_features(
     # beat features: same envelope machinery as the tempo score
     from bliss_tpu.features.tempo import band_energies, beat_metrics
 
-    if fa is None:
-        fa = band_energies(batch, cfg)
-    bpm, beat_loud = beat_metrics(fa, n, batch.durations, cfg, aux=beat_aux)
+    if isinstance(beat_aux, str) and beat_aux == "skip":
+        bpm = jnp.zeros((B,), dtype)
+        beat_loud = jnp.zeros((B,), dtype)
+    else:
+        if fa is None:
+            fa = band_energies(batch, cfg)
+        bpm, beat_loud = beat_metrics(
+            fa, n, batch.durations, cfg, aux=beat_aux
+        )
 
     # chromagram: pitch-class projection of the accumulated power spectrum,
     # normalized to sum 1 per song

@@ -521,7 +521,7 @@ def envelope_finish_host(
 
     if workers is None:
         workers = min(8, _os.cpu_count() or 1)
-    if workers > 1 and B >= 2 * workers and not return_aux:
+    if workers > 1 and B >= 2 * workers:
         from concurrent.futures import ThreadPoolExecutor
 
         bounds = np.linspace(0, B, workers + 1, dtype=int)
@@ -531,14 +531,22 @@ def envelope_finish_host(
                     lambda se: envelope_finish_host(
                         fa[se[0] : se[1]], n[se[0] : se[1]],
                         dur[se[0] : se[1]], workers=1,
+                        return_aux=return_aux,
                     ),
                     zip(bounds[:-1], bounds[1:]),
                 )
             )
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-        )
+        tempo = np.concatenate([p[0] for p in parts])
+        attack = np.concatenate([p[1] for p in parts])
+        if return_aux:
+            # aux = (r2, peaks, mid): all batch-leading, width-identical
+            # across chunks (NBF is shared), so plain concatenation is
+            # bitwise identical to the single-threaded aux.
+            aux = tuple(
+                np.concatenate([p[2][i] for p in parts]) for i in range(3)
+            )
+            return tempo, attack, aux
+        return tempo, attack
     nbf = (n - n % C.WINDOW_SIZE) // C.TEMPO_HOP
     n2 = 2 * nbf  # [B]
 

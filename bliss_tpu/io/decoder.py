@@ -393,7 +393,11 @@ def iter_decode(
     Yields ``(filename, DecodedAudio | None)`` in input order while decoding
     ahead on a thread pool — the host half of the host→device pipeline.
     ``perf``, if given, accumulates "decode_seconds" (summed per-file wall
-    time across workers — i.e. core-seconds, not elapsed) and "decoded".
+    time across workers — i.e. core-seconds, not elapsed), "decoded", and
+    "decode_cpu_seconds" (summed ``time.thread_time()`` deltas: CPU the
+    worker threads actually burned decoding, excluding time they sat
+    descheduled behind other threads — the number capacity projections
+    must use on contended hosts).
     """
     import time as _time
     from collections import deque
@@ -405,6 +409,7 @@ def iter_decode(
 
     def _one(fn):
         t0 = _time.perf_counter()
+        c0 = _time.thread_time()
         try:
             return decode(fn)
         except DecodeError:
@@ -417,6 +422,9 @@ def iter_decode(
                     perf["decode_seconds"] = perf.get(
                         "decode_seconds", 0.0
                     ) + (_time.perf_counter() - t0)
+                    perf["decode_cpu_seconds"] = perf.get(
+                        "decode_cpu_seconds", 0.0
+                    ) + (_time.thread_time() - c0)
                     perf["decoded"] = perf.get("decoded", 0) + 1
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:

@@ -397,6 +397,9 @@ def _build_sharded_fn(mesh: Mesh, cfg: AnalysisConfig, extended: bool = False):
         beat_aux = None
         if cfg.tempo_finish == "host":
             outs = [amplitude, frequency, fa]
+            # analyze_sharded_async overwrites the extended beat columns
+            # from the float64 host finish — skip the device beat chain
+            beat_aux = "skip"
         elif extended:
             # share one envelope chain: the aux hands the core's beat
             # detection to the extended bpm/beat_loudness columns
@@ -540,7 +543,14 @@ def _extended_local(
     chroma = chroma / jnp.maximum(jnp.sum(chroma, axis=1, keepdims=True), 1e-12)
 
     # ---- beat metrics from the gathered band energies ----------------------
-    bpm, beat_loud = tempo_mod.beat_metrics(fa, n, dur, cfg, aux=beat_aux)
+    if isinstance(beat_aux, str) and beat_aux == "skip":
+        # host-finish mode: the caller overwrites both beat columns from
+        # the float64 host aux — placeholder zeros instead of a second
+        # (discarded) device envelope chain
+        bpm = jnp.zeros(fa.shape[:1], dtype)
+        beat_loud = jnp.zeros(fa.shape[:1], dtype)
+    else:
+        bpm, beat_loud = tempo_mod.beat_metrics(fa, n, dur, cfg, aux=beat_aux)
 
     head = jnp.stack(
         [

@@ -405,6 +405,13 @@ def analyze_library(
     stats["decode_core_seconds"] = round(
         decode_perf.get("decode_seconds", 0.0), 4
     )
+    # summed per-file thread CPU time: what the decode actually COSTS in
+    # core-seconds, independent of scheduler contention — capacity
+    # projections must divide this, not wall (on a 1-core host the wall
+    # number absorbs time spent descheduled behind the pad/dispatch work)
+    stats["decode_cpu_seconds"] = round(
+        decode_perf.get("decode_cpu_seconds", 0.0), 4
+    )
     stats["decoded"] = decode_perf.get("decoded", 0)
     log_event(logger, "scan complete", total=n_total, ok=int(ok.sum()), **{
         k: v["seconds"] for k, v in timer.report().items()

@@ -48,14 +48,28 @@ def make_library(
 ) -> list[str]:
     """Generate ``n_songs`` distinct FLACs of ``seconds`` each; returns the
     file paths. Idempotent per (dir, n, seconds, seed): a marker file skips
-    regeneration."""
+    regeneration. Because every per-song frame sequence is drawn from one
+    sequential RNG stream, the first n files of an m>=n generation are
+    byte-identical to an n generation — so a marker from any PREVIOUS
+    LARGER run (same dir/seconds/seed) also satisfies a smaller request,
+    letting a wall-budget-scaled bench reuse the 10k library it generated
+    on an earlier run instead of re-paying ~8 min of fixture I/O."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, f".generated-{n_songs}-{seconds}-{seed}")
     paths = [
         os.path.join(out_dir, f"song{i:05d}.flac") for i in range(n_songs)
     ]
-    if os.path.exists(marker) and all(os.path.exists(p) for p in paths):
-        return paths
+    prefix = ".generated-"
+    suffix = f"-{seconds}-{seed}"
+    for name in os.listdir(out_dir):
+        if not (name.startswith(prefix) and name.endswith(suffix)):
+            continue
+        try:
+            m = int(name[len(prefix):-len(suffix)])
+        except ValueError:
+            continue
+        if m >= n_songs and all(os.path.exists(p) for p in paths):
+            return paths
 
     rng = np.random.RandomState(seed)
     n_frames = -(-(seconds * SR) // _BLOCK)

@@ -183,6 +183,19 @@ def test_envelope_finish_host_chunked_is_bitwise_identical():
     t4, a4 = envelope_finish_host(fa, n, dur, workers=4)
     np.testing.assert_array_equal(t1, t4)
     np.testing.assert_array_equal(a1, a4)
+    # return_aux must ALSO split across workers (the hybrid extended
+    # finish depends on it) and concatenate bitwise-identically.
+    t1x, a1x, aux1 = envelope_finish_host(
+        fa, n, dur, workers=1, return_aux=True
+    )
+    t4x, a4x, aux4 = envelope_finish_host(
+        fa, n, dur, workers=4, return_aux=True
+    )
+    np.testing.assert_array_equal(t1, t1x)
+    np.testing.assert_array_equal(t1x, t4x)
+    np.testing.assert_array_equal(a1x, a4x)
+    for c1, c4 in zip(aux1, aux4):
+        np.testing.assert_array_equal(c1, c4)
 
 
 def test_beat_metrics_nonpositive_duration_reports_zero_bpm():
