@@ -142,7 +142,11 @@ void init_python() {
 #endif
       }
     }
-    if (!Py_IsInitialized()) Py_InitializeEx(0);
+    bool we_initialized = false;
+    if (!Py_IsInitialized()) {
+      Py_InitializeEx(0);
+      we_initialized = true;
+    }
     PyGILState_STATE gs = PyGILState_Ensure();
     PyObject *main_mod = PyImport_AddModule("__main__");
     PyObject *globals = PyModule_GetDict(main_mod);
@@ -156,6 +160,18 @@ void init_python() {
     }
     Py_XDECREF(res);
     PyGILState_Release(gs);
+    if (we_initialized) {
+      // Py_InitializeEx left this thread holding the GIL, and the
+      // PyGILState_Release above was a no-op (the state was LOCKED).
+      // Without dropping it here the first caller's thread keeps the GIL
+      // forever once it returns to C, and every OTHER thread's
+      // PyGILState_Ensure deadlocks — i.e. a multithreaded C consumer
+      // (the reference advertises "multithreaded", reference README.md:5,
+      // src/analyze.c:34-62) hangs on its second thread. Release the GIL
+      // so all subsequent access goes through balanced Ensure/Release
+      // pairs on any thread.
+      PyEval_SaveThread();
+    }
   });
 }
 

