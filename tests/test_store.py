@@ -292,3 +292,82 @@ def test_fingerprint_matches_content_hash(tmp_path):
     cp = tmp_path / "renamed.bin"
     cp.write_bytes(f.read_bytes())
     assert s.fingerprint(str(cp)) == s.fingerprint(str(f))
+
+
+def test_store_scale_100k_entries(tmp_path):
+    """VERDICT r4 item 7: the warm store is the daily-driver path — prove
+    it holds at 100k+ entries. Bounds (loose CI-safe ceilings; measured on
+    the 1-core sandbox, see OPERATIONS.md "Store scale"):
+
+    - 100k puts + batched flushes (auto-compaction included): < 120 s
+      total, flush cost O(dirty) per batch;
+    - reload of the compacted store: < 30 s;
+    - similarity_rows + full k-NN (`store neighbors` / `store dupes`
+      compute path) over all 100k rows: < 300 s, peak incremental RSS
+      < 4 GB (block-partitioned distance matrix, never the 40 GB full
+      N x N);
+    - compacted on-disk layout: one shard per row width, O(N) bytes.
+    """
+    import resource
+    import time
+
+    import jax
+
+    from bliss_tpu.sim import nearest_neighbors_all
+    from bliss_tpu.store import similarity_rows
+
+    jax.config.update("jax_platforms", "cpu")
+    n = 100_000
+    s = FeatureStore(str(tmp_path), auto_compact_shards=64)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(n, 4).astype(np.float32) * 3
+
+    t0 = time.time()
+    batch = 2048  # a scan flushes per device batch; 49 flushes here
+    for start in range(0, n, batch):
+        for i in range(start, min(start + batch, n)):
+            s.put(
+                f"key{i:08d}", feats[i], {"filename": f"f{i:08d}.flac"}
+            )
+        s.flush()
+    s.compact()
+    put_s = time.time() - t0
+    assert put_s < 120, f"100k puts+flushes+compact took {put_s:.1f}s"
+    # compacted layout: exactly one shard for the single width
+    assert s.shard_count == 1
+    shard_bytes = sum(
+        os.path.getsize(os.path.join(str(tmp_path), f))
+        for f in os.listdir(str(tmp_path))
+        if f.endswith(".npz")
+    )
+    assert shard_bytes < 4 * n * 4 * 2  # O(N) floats, compression <= 2x raw
+
+    t0 = time.time()
+    s2 = FeatureStore(str(tmp_path))
+    assert len(s2) == n
+    reload_s = time.time() - t0
+    assert reload_s < 30, f"100k reload took {reload_s:.1f}s"
+
+    t0 = time.time()
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    names, rows = similarity_rows(s2)
+    assert len(names) == n and rows.shape == (n, 4)
+    # the `store neighbors`/`dupes` compute path: full k-NN, block=1024
+    # keeps the per-step distance block at [1024, 100k] f32 = 0.4 GB
+    d, idx = (
+        np.asarray(x) for x in nearest_neighbors_all(rows, k=3, block=1024)
+    )
+    knn_s = time.time() - t0
+    rss_growth_mb = (
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - rss0
+    ) / 1024.0
+    assert d.shape == (n, 3) and np.isfinite(d).all()
+    assert (idx != np.arange(n)[:, None]).all()  # self-rows masked
+    assert knn_s < 300, f"100k k-NN took {knn_s:.1f}s"
+    assert rss_growth_mb < 4096, f"k-NN grew RSS by {rss_growth_mb:.0f} MB"
+    # spot-check correctness against a brute-force row
+    brute = np.sqrt(((rows - rows[0]) ** 2).sum(1))
+    brute[0] = np.inf
+    np.testing.assert_allclose(
+        np.sort(brute)[:3], d[0], rtol=1e-3, atol=1e-3
+    )
