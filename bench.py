@@ -606,7 +606,7 @@ def stage_e2e(n_e2e: int) -> dict:
         k: st[k]["seconds"]
         for k in (
             "fingerprint", "pad", "device_dispatch", "device_finalize",
-            "store_flush",
+            "finalize_wait", "store_flush",
         )
         if k in st
     }
@@ -635,6 +635,12 @@ def stage_e2e(n_e2e: int) -> dict:
         "elapsed_seconds": round(e2e_s, 1),
         "decode_core_seconds": round(decode_core_s, 1),
         "decode_cpu_seconds": round(decode_cpu_s, 1),
+        # process-wide CPU across the scan (user+sys, ALL threads): the
+        # robust projection total — per-thread clocks cannot see avcodec
+        # helper threads or pool threads
+        "process_cpu_seconds": round(
+            st.get("scan_process_cpu_seconds", 0.0), 1
+        ),
         "decode_s_per_song_per_core": round(decode_s_per_song, 4),
         "decode_cpu_s_per_song": round(decode_cpu_per_song, 4),
         "stage_seconds": {k: round(v, 1) for k, v in stage_s.items()},
@@ -746,9 +752,20 @@ def assemble_json(baseline, correctness, throughput, hybrid, e2e, kernels,
         # tests/test_bench_harness.py.
         device_cap = songs_per_sec if throughput else float("inf")
         n_songs = max(e2e.get("songs", 1), 1)
-        other_cpu = sum(
-            e2e.get("stage_cpu_seconds", {}).values()
-        ) / n_songs
+        # non-decode host cost per song. Prefer the process-wide CPU total
+        # (user+sys across ALL threads) minus measured decode CPU: the
+        # per-thread stage clocks under-count anything a stage runs on
+        # other threads (pool workers, library helpers); the process total
+        # cannot. Fall back to the per-stage sum for older e2e payloads.
+        proc_cpu = e2e.get("process_cpu_seconds", 0.0)
+        if proc_cpu:
+            other_cpu = max(
+                proc_cpu - e2e.get("decode_cpu_seconds", 0.0), 0.0
+            ) / n_songs
+        else:
+            other_cpu = sum(
+                e2e.get("stage_cpu_seconds", {}).values()
+            ) / n_songs
 
         def _project(decode_cpu_per_song):
             cost = decode_cpu_per_song + other_cpu
@@ -845,12 +862,18 @@ def _emit_json(out: dict) -> None:
     """Print a JSON line unconditionally (normal flow only: the headline
     after the correctness gates, then the enriched re-emit after e2e —
     the driver parses the last complete line, and an early line beats no
-    line if the e2e enrichment is killed)."""
+    line if the e2e enrichment is killed).
+
+    Flag ordering matters: _EMITTED is set only AFTER the line is printed
+    and flushed. A SIGTERM landing mid-print then re-emits a (complete)
+    line from the checkpoint instead of assuming one already made it out;
+    a possible duplicate/truncated-then-complete pair is fine — the
+    driver parses the LAST complete line."""
     global _EMITTED
-    with _EMIT_LOCK:
-        _EMITTED = True
     print(json.dumps(out))
     sys.stdout.flush()
+    with _EMIT_LOCK:
+        _EMITTED = True
 
 
 def _assemble_from_ckpt(ckpt: Checkpoint, extra_errors: dict) -> dict:
@@ -889,11 +912,20 @@ def _install_signal_handlers(ckpt: Checkpoint) -> None:
     import signal
 
     def handler(signum, frame):  # noqa: ARG001 — signal API
+        # LOCK-FREE on purpose: the handler runs on the main thread
+        # between bytecodes, so taking _EMIT_LOCK here would deadlock if
+        # the signal interrupted the main thread while it held that lock.
+        # Plain flag read instead; the worst case is a duplicate line,
+        # and the driver parses the last complete one.
         name = signal.Signals(signum).name
-        out = _assemble_from_ckpt(
-            ckpt, {"signal": f"{name} received; emitted from checkpoint"}
-        )
-        if _emit_json_once(out):
+        if not _EMITTED:
+            out = _assemble_from_ckpt(
+                ckpt, {"signal": f"{name} received; emitted from checkpoint"}
+            )
+            try:
+                print(json.dumps(out))
+            except Exception:  # noqa: BLE001 — exit path, best effort
+                pass
             print(
                 f"bench: {name} received; emitted JSON from checkpoint",
                 file=sys.stderr,
@@ -903,6 +935,13 @@ def _install_signal_handlers(ckpt: Checkpoint) -> None:
                 f"bench: {name} received after emission; exiting clean",
                 file=sys.stderr,
             )
+        # flush stdout even on the already-emitted path: with a piped
+        # (block-buffered) stdout the emitted line may still sit in
+        # Python's buffer, and os._exit skips interpreter cleanup
+        try:
+            sys.stdout.flush()
+        except Exception:  # noqa: BLE001
+            pass
         sys.stderr.flush()
         os._exit(0)
 
@@ -937,6 +976,10 @@ def _start_global_watchdog(ckpt: Checkpoint) -> None:
                 "bench: global watchdog fired after emission; exiting",
                 file=sys.stderr,
             )
+        try:
+            sys.stdout.flush()  # piped stdout is block-buffered
+        except Exception:  # noqa: BLE001
+            pass
         os._exit(0)
 
     threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
@@ -952,6 +995,10 @@ def main() -> int:
     _start_global_watchdog(ckpt)
     test_sleep = float(os.environ.get("BENCH_TEST_SLEEP_S", 0))
     if test_sleep:  # test hook: hold here so harness tests can SIGTERM us
+        ready = os.environ.get("BENCH_TEST_READY_FILE")
+        if ready:  # handshake: interpreter startup can take seconds
+            with open(ready, "w") as f:
+                f.write("ready")
         time.sleep(test_sleep)
 
     baseline = run_stage(ckpt, "baseline", measure_baseline)

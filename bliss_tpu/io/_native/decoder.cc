@@ -182,8 +182,17 @@ int bt_decode(const char* filename, bt_decoded* out) {
     out->error = dup_cstr("could not set up codec context");
     return -1;
   }
-  // Let the codec use frame-level threading across host cores.
-  cc.p->thread_count = 0;
+  // Single-threaded codec, deliberately (the reference uses auto frame
+  // threads, reference src/decode.c:91-92). The scan pipeline already
+  // parallelizes across SONGS with one decode per worker thread
+  // (io/decoder.py iter_decode), so per-codec frame threads would only
+  // oversubscribe the cores; and it keeps the decode-cost accounting
+  // exact — iter_decode charges decode CPU via the worker's
+  // CLOCK_THREAD_CPUTIME_ID, which cannot see avcodec-spawned helper
+  // threads, and the capacity projection divides that number.
+  // BLISS_TPU_DECODE_THREADS overrides for one-shot big-file latency.
+  const char* threads_env = getenv("BLISS_TPU_DECODE_THREADS");
+  cc.p->thread_count = threads_env ? atoi(threads_env) : 1;
   cc.p->thread_type = FF_THREAD_FRAME;
   if (avcodec_open2(cc.p, codec, nullptr) < 0) {
     out->error = dup_cstr("could not open codec");

@@ -182,6 +182,13 @@ def analyze_library(
 
         cfg = default_config()
     timer = StageTimer()
+    # process-wide CPU (user+sys, ALL threads incl. decode workers, the
+    # finalize pool, and any library-internal helpers): the one number
+    # per-thread clocks cannot undercount — the robust total for capacity
+    # projections (per-thread stage cpu_seconds give the breakdown)
+    import resource as _resource
+
+    _ru0 = _resource.getrusage(_resource.RUSAGE_SELF)
     n_total = len(files)
     n_ext = len(EXTENDED_FEATURE_NAMES) if extended else 0
     width = 4 + n_ext
@@ -258,15 +265,18 @@ def analyze_library(
                 a[100] = 1000
             durs += [1] * pad
         with timer.stage("pad"):
-            # empty + per-row tail zero, not np.zeros: zeros() pages are
-            # zeroed on first touch and then overwritten by the row copy —
-            # writing each byte once measures ~45% less CPU per batch
-            # (every byte still gets exactly the same value)
-            samples = np.empty((batch_size, L), np.int16)
+            # np.zeros + row copy, deliberately. The "obvious" win —
+            # np.empty + per-row fill + tail zero, writing each byte once —
+            # measures ~45% faster in steady-state microbenchmarks but has
+            # a catastrophic first-call mode on fresh mmap'd pages (12 s
+            # for one 128 MB batch on this VM vs 0.1 s; huge-page/host
+            # allocation stalls when every page is dirtied sequentially).
+            # zeros() never touches the tail pages beyond each row's PCM,
+            # so it faults less and is consistently fast. Negative result
+            # recorded so it isn't retried.
+            samples = np.zeros((batch_size, L), np.int16)
             for r, a in enumerate(arrays):
-                n_r = a.shape[0]
-                samples[r, :n_r] = a
-                samples[r, n_r:] = 0
+                samples[r, : a.shape[0]] = a
             batch = PCMBatch(
                 samples,
                 np.array([a.shape[0] for a in arrays], np.int32),
@@ -274,14 +284,25 @@ def analyze_library(
             )
         with timer.stage("device_dispatch"):
             fin = _dispatch_analysis(batch, cfg, mesh, extended)
-        in_flight.append((entries, L, finalize_pool.submit(fin)))
+
+        def timed_fin(fin=fin):
+            # time INSIDE the pool thread: thread_time() from the main
+            # thread would charge ~0 CPU to the finalize stage (the fetch
+            # copy and any float64 host finish burn their CPU here, not
+            # in the fut.result() wait)
+            with timer.stage("device_finalize"):
+                return fin()
+
+        in_flight.append((entries, L, finalize_pool.submit(timed_fin)))
         while len(in_flight) > max_in_flight:
             finalize_oldest()
 
     def finalize_oldest() -> None:
         nonlocal done
         entries, L, fut = in_flight.pop(0)
-        with timer.stage("device_finalize"):
+        with timer.stage("finalize_wait"):
+            # main-thread wait (wall only meaningful; its cpu_seconds ~ 0
+            # by construction — the work is timed in the pool thread)
             feats = fut.result()
         for (i, d), row in zip(entries, feats):
             features[i] = row[:4]
@@ -419,6 +440,10 @@ def analyze_library(
         decode_perf.get("decode_cpu_seconds", 0.0), 4
     )
     stats["decoded"] = decode_perf.get("decoded", 0)
+    _ru1 = _resource.getrusage(_resource.RUSAGE_SELF)
+    stats["scan_process_cpu_seconds"] = round(
+        (_ru1.ru_utime - _ru0.ru_utime) + (_ru1.ru_stime - _ru0.ru_stime), 4
+    )
     log_event(logger, "scan complete", total=n_total, ok=int(ok.sum()), **{
         k: v["seconds"] for k, v in timer.report().items()
     })

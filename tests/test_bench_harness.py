@@ -267,6 +267,46 @@ def test_projection_is_reproducible_from_measured_cpu_seconds(bench):
     assert je["decode_s_per_song_by_codec"]["flac_compressed"] == 0.05
 
 
+def test_projection_prefers_process_cpu_total(bench):
+    """When the e2e payload carries process_cpu_seconds (user+sys across
+    ALL threads), the projection's non-decode term must be
+    (process - decode) / songs — the per-thread stage sum under-counts
+    work done on pool/library helper threads and is only the fallback."""
+    e2e = {
+        "songs": 1000, "songs_per_sec": 30.0,
+        "warm_rescan_songs_per_sec": 4000.0, "gen_seconds": 1.0,
+        "elapsed_seconds": 300.0, "decode_core_seconds": 40.0,
+        "decode_cpu_seconds": 25.0,
+        "process_cpu_seconds": 55.0,  # 25 decode + 30 everything else
+        "decode_s_per_song_per_core": 0.04,
+        "decode_cpu_s_per_song": 0.025,
+        "stage_seconds": {"pad": 100.0},
+        # deliberately smaller than the true non-decode total (a pool
+        # thread burned CPU no stage clock saw): must NOT be used
+        "stage_cpu_seconds": {"fingerprint": 4.0, "pad": 6.0},
+        "_decode_s_per_song": 0.025,
+    }
+    out = bench.assemble_json(
+        baseline={"cpu_analysis_songs_per_sec": 20.0,
+                  "cpu_e2e_songs_per_sec": 18.0},
+        correctness={
+            "device_ok": True, "hybrid_ok": True, "device": "TPU_0",
+            "tempo_err_device_exact": 0.0,
+            "max_feature_err_vs_golden": 0.0,
+            "tempo_err_hybrid": 0.0, "max_feature_err_hybrid": 0.0,
+        },
+        throughput={"per_batch_s": 0.0061, "songs_per_sec": 21000.0,
+                    "batch": 128},
+        hybrid=None, e2e=e2e, kernels=None, fuzz=None, errors={},
+    )
+    je = out["e2e"]
+    assert je["host_cpu_s_per_song_non_decode"] == 0.03  # (55-25)/1000
+    cost = 0.025 + 0.03
+    proj = je["projected_songs_per_sec_at_cores"]
+    for c in (8, 32, 96):
+        assert proj[str(c)] == round(min(c / cost, 21000.0), 1)
+
+
 def test_assemble_json_fuzz_divergence_zeroes_value(bench):
     correctness = {
         "device_ok": True, "hybrid_ok": True, "device": "TPU_0",
@@ -443,6 +483,8 @@ def test_sigterm_flushes_json_from_checkpoint(bench, tmp_path):
     env["BENCH_CKPT"] = ckpt_path
     env["BENCH_TEST_SLEEP_S"] = "60"
     env["BENCH_GLOBAL_TIMEOUT_S"] = "0"
+    ready_file = str(tmp_path / "ready")
+    env["BENCH_TEST_READY_FILE"] = ready_file
 
     # pre-populate the checkpoint the way the r04 run left it: baseline +
     # correctness + throughput measured, e2e still running. The signature
@@ -471,7 +513,14 @@ def test_sigterm_flushes_json_from_checkpoint(bench, tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
     )
     try:
-        time.sleep(2.0)  # let it reach the test-hook sleep
+        # handshake, not a fixed sleep: interpreter startup alone can take
+        # >2 s on a loaded 1-core host, and SIGTERM before the handler is
+        # installed dies with the default disposition (rc=-15)
+        deadline = time.time() + 60
+        while not os.path.exists(ready_file):
+            assert proc.poll() is None, "bench exited before ready"
+            assert time.time() < deadline, "bench never reached test hook"
+            time.sleep(0.1)
         proc.send_signal(signal.SIGTERM)
         stdout, stderr = proc.communicate(timeout=30)
     finally:

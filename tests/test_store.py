@@ -299,13 +299,16 @@ def test_store_scale_100k_entries(tmp_path):
     it holds at 100k+ entries. Bounds (loose CI-safe ceilings; measured on
     the 1-core sandbox, see OPERATIONS.md "Store scale"):
 
-    - 100k puts + batched flushes (auto-compaction included): < 120 s
-      total, flush cost O(dirty) per batch;
-    - reload of the compacted store: < 30 s;
+    - 100k puts + batched flushes (auto-compaction included): measured
+      ~40 s here, bounded at 300 s (generous: a regression to O(store)
+      flushes would cost tens of minutes);
+    - reload of the compacted store: measured ~3 s, bounded at 90 s;
     - similarity_rows + full k-NN (`store neighbors` / `store dupes`
-      compute path) over all 100k rows: < 300 s, peak incremental RSS
-      < 4 GB (block-partitioned distance matrix, never the 40 GB full
-      N x N);
+      compute path) over all 100k rows: measured ~60 s/core, bounded at
+      600 s; peak incremental RSS < 4 GB (block-partitioned distance
+      matrix, never the 40 GB full N x N — note ru_maxrss is a process
+      high-water mark, so this can under-report growth if an earlier
+      test peaked higher; it can never false-fail);
     - compacted on-disk layout: one shard per row width, O(N) bytes.
     """
     import resource
@@ -332,7 +335,7 @@ def test_store_scale_100k_entries(tmp_path):
         s.flush()
     s.compact()
     put_s = time.time() - t0
-    assert put_s < 120, f"100k puts+flushes+compact took {put_s:.1f}s"
+    assert put_s < 300, f"100k puts+flushes+compact took {put_s:.1f}s"
     # compacted layout: exactly one shard for the single width
     assert s.shard_count == 1
     shard_bytes = sum(
@@ -346,7 +349,7 @@ def test_store_scale_100k_entries(tmp_path):
     s2 = FeatureStore(str(tmp_path))
     assert len(s2) == n
     reload_s = time.time() - t0
-    assert reload_s < 30, f"100k reload took {reload_s:.1f}s"
+    assert reload_s < 90, f"100k reload took {reload_s:.1f}s"
 
     t0 = time.time()
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
@@ -363,7 +366,7 @@ def test_store_scale_100k_entries(tmp_path):
     ) / 1024.0
     assert d.shape == (n, 3) and np.isfinite(d).all()
     assert (idx != np.arange(n)[:, None]).all()  # self-rows masked
-    assert knn_s < 300, f"100k k-NN took {knn_s:.1f}s"
+    assert knn_s < 600, f"100k k-NN took {knn_s:.1f}s"
     assert rss_growth_mb < 4096, f"k-NN grew RSS by {rss_growth_mb:.0f} MB"
     # spot-check correctness against a brute-force row
     brute = np.sqrt(((rows - rows[0]) ** 2).sum(1))
